@@ -1,0 +1,150 @@
+"""Typed experiment configuration with CLI parity to the reference.
+
+The reference threads a mutated argparse namespace everywhere
+(/root/reference/main.py:22-58); here the config is a frozen dataclass with
+the same user-facing knobs plus TPU-specific fields. Flag names follow
+/root/reference/main.py:22-55 so scripts written for the reference port 1:1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # ---- data / task (reference main.py:24-33) ----
+    split: int = -1               # -1 => 10-seeded-half-split eval protocol
+    dataset: str = "kinetics2oboth"
+    train_samples: int = -1       # linspace-subsample train set (debugging)
+    class_total: int = -1         # linspace-subsample train classes (debugging)
+    clip_len: int = 16            # frames per clip
+    n_clips: int = 1              # clips per video (train)
+    class_overlap: float = 0.040  # tau, Eq.3: drop train classes too close to test
+
+    # ---- optimization (reference main.py:36-42) ----
+    lr: float = 1e-3
+    n_epochs: int = 150
+    bs: int = 64                  # per-replica batch size; global = bs * n_data_shards
+    size: int = 112               # crop size
+    fixconvs: bool = False        # freeze backbone (stop_gradient)
+    nopretrained: bool = False    # True => random init (reference quirk #3 made real)
+
+    # ---- network (reference main.py:45-46) ----
+    network: str = "r2plus1d_18"  # r2plus1d_18 | r3d_18 | mc3_18 | c3d | resnet18
+    head: str = "mlp"             # 'mlp' = active fork head (network.py:517,595-600)
+                                  # 'linear' = upstream paper head (network.py:50-80)
+
+    # ---- paths / run management (reference main.py:49-52) ----
+    save_path: str = "./experiments"
+    weights: Optional[str] = None
+    progressbar: bool = True
+    evaluate: bool = False        # eval-only mode (25 clips/video)
+
+    # ---- TPU-native knobs (no reference equivalent) ----
+    compute_dtype: str = "bfloat16"   # conv/matmul compute dtype; params stay fp32
+    mesh_shape: Tuple[int, ...] = (-1,)   # -1 = all devices on the 'data' axis
+    mesh_axes: Tuple[str, ...] = ("data",)
+    seed: int = 0
+    data_root: str = "/mnt/hdd1"      # dataset root (reference hardcodes this)
+    word2vec_path: str = "./assets/GoogleNews-vectors-negative300.bin"
+    word2vec_cache: str = "./assets/word2vec_cache.npz"
+    prefetch_depth: int = 2           # host->device pipeline depth
+    decode_workers: int = 0           # 0 = os.cpu_count()
+    canvas_hw: Tuple[int, int] = (256, 342)  # host uint8 canvas (static shape)
+    epoch_sample_cap: int = 100_000   # reference caps train epoch (main.py:208)
+    eval_n_clips_active: int = 4      # dataset.py:131 (active path)
+    eval_n_clips_full: int = 25       # dataset.py:75 (--evaluate path)
+    log_every: int = 10
+    keep_bn_fp32: bool = True
+
+    # ------------------------------------------------------------------
+    @property
+    def multiple_clips(self) -> bool:
+        return False  # parity: reference main.py:57
+
+    @property
+    def eval_n_clips(self) -> int:
+        n = self.eval_n_clips_full if self.evaluate else self.eval_n_clips_active
+        return max(n, self.n_clips)
+
+    def savename(self, n_devices: int = 1) -> str:
+        """Experiment dir naming, parity with /root/reference/main.py:72-104."""
+        global_bs = self.bs * max(1, n_devices)
+        name = os.path.join(self.save_path, self.dataset)
+        name = os.path.join(
+            name,
+            "CLIP%d_LR%f_%s_BS%d" % (self.clip_len, self.lr, self.network, global_bs),
+        )
+        if self.class_overlap > 0:
+            name += "_CLASSOVERLAP%.2f" % self.class_overlap
+        if self.class_total != -1:
+            name += "_NCLASS%d" % self.class_total
+        if self.train_samples != -1:
+            name += "_NTRAIN%d" % self.train_samples
+        if self.fixconvs:
+            name += "_FixedConvs"
+        if self.nopretrained:
+            name += "_NotPretrained"
+        if self.split != -1:
+            name = os.path.join(name, "split%d" % self.split)
+        return name
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        d = json.loads(s)
+        for k in ("mesh_shape", "mesh_axes", "canvas_hw"):
+            if k in d and isinstance(d[k], list):
+                d[k] = tuple(d[k])
+        return Config(**d)
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    """CLI with the exact flags of /root/reference/main.py:22-55 plus TPU extras."""
+    p = argparse.ArgumentParser(description="TPU-native zero-shot video classification")
+    d = Config()
+    p.add_argument("--split", default=d.split, type=int)
+    p.add_argument("--dataset", default=d.dataset, type=str,
+                   help="kinetics2oboth | kinetics2others | sun2both | image | synthetic")
+    p.add_argument("--train_samples", default=d.train_samples, type=int)
+    p.add_argument("--class_total", default=d.class_total, type=int)
+    p.add_argument("--clip_len", default=d.clip_len, type=int)
+    p.add_argument("--n_clips", default=d.n_clips, type=int)
+    p.add_argument("--class_overlap", default=d.class_overlap, type=float)
+    p.add_argument("--lr", default=d.lr, type=float)
+    p.add_argument("--n_epochs", default=d.n_epochs, type=int)
+    p.add_argument("--bs", default=d.bs, type=int)
+    p.add_argument("--size", default=d.size, type=int)
+    p.add_argument("--fixconvs", action="store_true", default=False)
+    # NOTE: the reference's --nopretrained used action='store_false' so it could
+    # never become True (quirk #3, main.py:42); here it is a real boolean.
+    p.add_argument("--nopretrained", action="store_true", default=False)
+    p.add_argument("--network", default=d.network, type=str)
+    p.add_argument("--head", default=d.head, type=str, choices=["mlp", "linear"])
+    p.add_argument("--save_path", default=d.save_path, type=str)
+    p.add_argument("--weights", default=None, type=str)
+    p.add_argument("--progressbar", action="store_true", default=True)
+    p.add_argument("--evaluate", action="store_true", default=False)
+    # TPU extras
+    p.add_argument("--compute_dtype", default=d.compute_dtype, type=str)
+    p.add_argument("--seed", default=d.seed, type=int)
+    p.add_argument("--data_root", default=d.data_root, type=str)
+    p.add_argument("--word2vec_path", default=d.word2vec_path, type=str)
+    p.add_argument("--decode_workers", default=d.decode_workers, type=int)
+    return p
+
+
+def config_from_args(argv=None) -> Config:
+    ns = build_arg_parser().parse_args(argv)
+    fields = {f.name for f in dataclasses.fields(Config)}
+    return Config(**{k: v for k, v in vars(ns).items() if k in fields})
