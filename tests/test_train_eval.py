@@ -1,0 +1,245 @@
+"""Training-step, optimizer, checkpoint, and zero-shot eval protocol tests.
+
+Uses a tiny stub backbone (same interface as VideoResNet) so the logic-level
+tests stay fast on the 1-core CPU CI host; the real backbones are covered by
+test_models.py.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.distance import cdist as scipy_cdist
+
+from zeroshotvideoclassification_tpu.eval import (
+    compute_accuracy,
+    split_protocol,
+)
+from zeroshotvideoclassification_tpu.models import layers as L
+from zeroshotvideoclassification_tpu.models.heads import ZeroShotModel
+from zeroshotvideoclassification_tpu.train import (
+    TrainState,
+    create_train_state,
+    load_checkpoint,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    multistep_lr,
+    save_checkpoint,
+    warm_start,
+)
+from zeroshotvideoclassification_tpu.train.optimizer import set_lr
+from zeroshotvideoclassification_tpu.train.step import masked_mse
+
+F32 = jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class StubBackbone:
+    """Minimal backbone: mean-pool pixels -> linear -> [N, feature_dim]."""
+
+    feature_dim: int = 32
+
+    def init(self, rng):
+        p = {"proj": L.torch_linear_init(rng, 3, self.feature_dim)}
+        bn_p, bn_s = L.batchnorm_init(self.feature_dim)
+        p["bn"] = bn_p
+        return p, {"bn": bn_s}
+
+    def apply(self, params, state, x, train, compute_dtype=F32):
+        feats = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))  # [N, C]
+        feats = L.linear(feats, params["proj"], jnp.float32)
+        feats = feats[:, None, None, None, :]  # fake featmap for BN shape
+        feats, bn_s = L.batchnorm_apply(
+            params["bn"], state["bn"], feats, train, compute_dtype=jnp.float32)
+        feats = feats[:, 0, 0, 0, :]
+        return feats.astype(jnp.float32), None, {"bn": bn_s}
+
+
+def _tiny_model(fixconvs=False):
+    return ZeroShotModel(backbone=StubBackbone(), head="mlp", fixconvs=fixconvs)
+
+
+def _batch(rng, b=8, n_classes=4):
+    x = rng.normal(size=(b, 1, 2, 4, 4, 3)).astype(np.float32)
+    labels = rng.integers(0, n_classes, size=b).astype(np.int32)
+    class_embed = rng.normal(size=(n_classes, 300)).astype(np.float32)
+    class_embed /= np.linalg.norm(class_embed, axis=1, keepdims=True)
+    z = class_embed[labels]
+    weight = np.ones(b, np.float32)
+    return x, z, labels, weight, class_embed
+
+
+# ---------------------------------------------------------------- loss ------
+
+def test_masked_mse_ignores_zero_weight(rng):
+    emb = jnp.asarray(rng.normal(size=(4, 300)).astype(np.float32))
+    z = jnp.asarray(rng.normal(size=(4, 300)).astype(np.float32))
+    w_all = jnp.ones(4)
+    w_mask = jnp.array([1.0, 1.0, 0.0, 0.0])
+    full = masked_mse(emb, z, w_all)
+    sub = masked_mse(emb[:2], z[:2], jnp.ones(2))
+    got = masked_mse(emb, z, w_mask)
+    np.testing.assert_allclose(float(got), float(sub), rtol=1e-6)
+    assert abs(float(full) - float(got)) > 1e-8  # mask actually changes it
+
+
+# ---------------------------------------------------------------- train -----
+
+def test_train_step_reduces_loss(rng):
+    model = _tiny_model()
+    opt = make_optimizer(1e-2)
+    ts = create_train_state(model, opt, jax.random.PRNGKey(0))
+    step = make_train_step(model, opt, compute_dtype=F32, donate=False)
+    x, z, labels, weight, class_embed = _batch(rng)
+    losses = []
+    for i in range(60):
+        ts, m = step(ts, x, z, labels, weight, class_embed, jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.7, losses[::10]
+    assert int(ts.step) == 60
+    assert 0.0 <= float(m["train_accuracy"]) <= 100.0
+
+
+def test_train_step_updates_bn_state(rng):
+    model = _tiny_model()
+    opt = make_optimizer(1e-3)
+    ts = create_train_state(model, opt, jax.random.PRNGKey(0))
+    step = make_train_step(model, opt, compute_dtype=F32, donate=False)
+    x, z, labels, weight, class_embed = _batch(rng)
+    before = np.asarray(ts.model_state["backbone"]["bn"]["mean"]).copy()
+    ts, _ = step(ts, x, z, labels, weight, class_embed, jax.random.PRNGKey(0))
+    after = np.asarray(ts.model_state["backbone"]["bn"]["mean"])
+    assert not np.allclose(before, after)
+
+
+def test_nonfinite_grads_skip_update(rng):
+    model = _tiny_model()
+    opt = make_optimizer(1e-2)
+    ts = create_train_state(model, opt, jax.random.PRNGKey(0))
+    step = make_train_step(model, opt, compute_dtype=F32, donate=False)
+    x, z, labels, weight, class_embed = _batch(rng)
+    x_bad = np.full_like(x, np.nan)
+    p_before = jax.tree.map(np.asarray, ts.params)
+    ts2, m = step(ts, x_bad, z, labels, weight, class_embed, jax.random.PRNGKey(0))
+    for a, b in zip(jax.tree.leaves(p_before), jax.tree.leaves(ts2.params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_multistep_lr_reference_milestones():
+    lr = multistep_lr(1e-3, 150)
+    assert lr(0) == 1e-3 and lr(59) == 1e-3
+    np.testing.assert_allclose(lr(60), 1e-4)
+    np.testing.assert_allclose(lr(120), 1e-5)
+    lr2 = multistep_lr(5e-4, 100)  # non-default lr: milestone [80]
+    assert lr2(79) == 5e-4
+    np.testing.assert_allclose(lr2(80), 5e-5)
+
+
+def test_set_lr_applies(rng):
+    model = _tiny_model()
+    opt = make_optimizer(1e-1)
+    ts = create_train_state(model, opt, jax.random.PRNGKey(0))
+    step = make_train_step(model, opt, compute_dtype=F32, donate=False)
+    x, z, labels, weight, class_embed = _batch(rng)
+    ts = dataclasses.replace(ts, opt_state=set_lr(ts.opt_state, 0.0))
+    p_before = jax.tree.map(np.asarray, ts.params)
+    ts, _ = step(ts, x, z, labels, weight, class_embed, jax.random.PRNGKey(0))
+    for a, b in zip(jax.tree.leaves(p_before), jax.tree.leaves(ts.params)):
+        np.testing.assert_allclose(a, np.asarray(b), atol=1e-7)
+
+
+# ------------------------------------------------------------- checkpoint ---
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    model = _tiny_model()
+    opt = make_optimizer(1e-2)
+    ts = create_train_state(model, opt, jax.random.PRNGKey(0))
+    step = make_train_step(model, opt, compute_dtype=F32, donate=False)
+    x, z, labels, weight, class_embed = _batch(rng)
+    ts, _ = step(ts, x, z, labels, weight, class_embed, jax.random.PRNGKey(0))
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, ts, epoch=3, accuracy=42.5, config_json='{"bs": 4}')
+
+    fresh = create_train_state(model, opt, jax.random.PRNGKey(7))
+    restored, meta = load_checkpoint(path, fresh)
+    assert meta["epoch"] == 3 and abs(meta["accuracy"] - 42.5) < 1e-9
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree.leaves(ts.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(ts.opt_state), jax.tree.leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_warm_start_partial(tmp_path, rng):
+    model = _tiny_model()
+    opt = make_optimizer(1e-2)
+    ts = create_train_state(model, opt, jax.random.PRNGKey(0))
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, ts, epoch=0, accuracy=0.0)
+    fresh_params, _ = model.init(jax.random.PRNGKey(9))
+    loaded, n = warm_start(path, fresh_params)
+    assert n == len(jax.tree.leaves(fresh_params))
+    np.testing.assert_array_equal(
+        np.asarray(loaded["head"]["fc1"]["w"]),
+        np.asarray(ts.params["head"]["fc1"]["w"]))
+
+
+# ------------------------------------------------------------------ eval ----
+
+def _oracle_accuracy(pred, class_embed, true_embed):
+    """Reference math re-derived with scipy (main.py:316-325)."""
+    y_pred = scipy_cdist(pred, class_embed, "cosine").argsort(1)
+    y = scipy_cdist(true_embed, class_embed, "cosine").argmin(1)
+    top1 = np.mean(y == y_pred[:, 0]) * 100
+    top5 = np.mean([l in p for l, p in zip(y, y_pred[:, :5])]) * 100
+    return top1, top5
+
+
+def test_compute_accuracy_matches_reference_math(rng):
+    pred = rng.normal(size=(40, 300)).astype(np.float32)
+    ce = rng.normal(size=(12, 300)).astype(np.float32)
+    labels = rng.integers(0, 12, size=40)
+    true = ce[labels] + 0.01 * rng.normal(size=(40, 300)).astype(np.float32)
+    got = compute_accuracy(pred, ce, true)
+    want = _oracle_accuracy(pred, ce, true)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_split_protocol_seed_parity(rng):
+    """The seeded permutation must match np.random.seed(split) semantics."""
+    n_classes = 20
+    for split in range(10):
+        np.random.seed(split)
+        want = np.random.permutation(n_classes)[: n_classes // 2]
+        got = np.random.RandomState(split).permutation(n_classes)[: n_classes // 2]
+        np.testing.assert_array_equal(got, want)
+
+    pred = rng.normal(size=(60, 300)).astype(np.float32)
+    ce = rng.normal(size=(n_classes, 300)).astype(np.float32)
+    labels = rng.integers(0, n_classes, size=60)
+    true = ce[labels]
+    out = split_protocol(pred, ce, labels, true)
+    assert out["n_split_classes"] == 10
+    assert 0 <= out["accuracy_split_mean"] <= 100
+
+
+def test_perfect_predictions_score_100(rng):
+    ce = rng.normal(size=(10, 300)).astype(np.float32)
+    ce /= np.linalg.norm(ce, axis=1, keepdims=True)
+    labels = rng.integers(0, 10, size=30)
+    pred = ce[labels]
+    top1, top5 = compute_accuracy(pred, ce, pred)
+    assert top1 == 100.0 and top5 == 100.0
+
+
+def test_eval_step_runs(rng):
+    model = _tiny_model()
+    params, state = model.init(jax.random.PRNGKey(0))
+    es = make_eval_step(model, compute_dtype=F32)
+    x = jnp.asarray(rng.normal(size=(4, 2, 2, 4, 4, 3)).astype(np.float32))
+    emb = es(params, state, x)
+    assert emb.shape == (4, 300)
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.norm(emb, axis=-1)), 1.0, atol=1e-5)

