@@ -239,3 +239,23 @@ def test_bf16_forward_runs():
         params, state, x)
     assert emb.dtype == jnp.float32  # head/normalize keep fp32
     assert bool(jnp.all(jnp.isfinite(emb)))
+
+
+def test_conv3d_temporal_kernel_matches_torch(rng):
+    # (3,1,1) temporal conv with temporal stride — the 2D-folded fast path
+    x = rng.normal(size=(2, 8, 6, 6, 9)).astype(np.float32)
+    w = rng.normal(size=(3, 1, 1, 9, 5)).astype(np.float32) * 0.1
+    got = L.conv3d(jnp.asarray(x), {"w": jnp.asarray(w)}, (2, 1, 1), (1, 0, 0), F32)
+    want = TF.conv3d(to_torch_x(x), to_torch_w(w), stride=(2, 1, 1), padding=(1, 0, 0))
+    np.testing.assert_allclose(
+        np.asarray(got), want.permute(0, 2, 3, 4, 1).numpy(), atol=2e-5)
+
+
+def test_conv3d_1x1x1_downsample_matches_torch(rng):
+    # 1x1x1 conv, stride (2,2,2), no padding — pure subsample + matmul path
+    x = rng.normal(size=(2, 8, 6, 6, 9)).astype(np.float32)
+    w = rng.normal(size=(1, 1, 1, 9, 5)).astype(np.float32) * 0.1
+    got = L.conv3d(jnp.asarray(x), {"w": jnp.asarray(w)}, (2, 2, 2), (0, 0, 0), F32)
+    want = TF.conv3d(to_torch_x(x), to_torch_w(w), stride=(2, 2, 2), padding=0)
+    np.testing.assert_allclose(
+        np.asarray(got), want.permute(0, 2, 3, 4, 1).numpy(), atol=2e-5)

@@ -1,0 +1,231 @@
+"""Training/evaluation driver with reference CLI parity.
+
+The epoch loop mirrors /root/reference/main.py:330-380: train one epoch
+(sample-capped), evaluate each test set (full + 10-split protocol), keep the
+best-by-mean-accuracy checkpoint, step the LR schedule, loop. TPU-native
+differences: one jitted SPMD train step (batch sharded over the mesh 'data'
+axis), on-device input transform, on-device retrieval metrics, full
+train-state checkpoints.
+
+Run example (no datasets needed):
+  python -m zeroshotvideoclassification_tpu.cli.main \
+      --dataset synthetic --class_total 8 --train_samples 64 \
+      --n_epochs 2 --bs 8 --network r2plus1d_18
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zeroshotvideoclassification_tpu.config import Config, config_from_args
+from zeroshotvideoclassification_tpu.data.datasets import VideoTable, build_datasets
+from zeroshotvideoclassification_tpu.data.pipeline import HostPipeline, device_batch
+from zeroshotvideoclassification_tpu.eval.zeroshot import (
+    compute_accuracy,
+    split_protocol,
+)
+from zeroshotvideoclassification_tpu.models import get_network
+from zeroshotvideoclassification_tpu.parallel import (
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+from zeroshotvideoclassification_tpu.train import (
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    multistep_lr,
+    save_checkpoint,
+    warm_start,
+)
+from zeroshotvideoclassification_tpu.train.optimizer import set_lr
+from zeroshotvideoclassification_tpu.utils.logging import (
+    MetricsLogger,
+    Timer,
+    colored,
+)
+
+
+def _dtype(config: Config):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[config.compute_dtype]
+
+
+class Experiment:
+    """Bundles model, state, steps, mesh, logging for one run."""
+
+    def __init__(self, config: Config, datasets: Dict[str, List[VideoTable]]):
+        self.config = config
+        self.datasets = datasets
+        self.mesh = make_mesh(config.mesh_shape, config.mesh_axes)
+        n_data = self.mesh.shape.get("data", 1)
+        self.global_bs = config.bs * n_data  # reference: bs * n_gpus (main.py:61-63)
+        self.model = get_network(config)
+        self.optimizer = make_optimizer(config.lr)
+        self.lr_at = multistep_lr(config.lr, config.n_epochs)
+        self.dtype = _dtype(config)
+        self.state = create_train_state(
+            self.model, self.optimizer, jax.random.PRNGKey(config.seed))
+        if config.weights and config.weights != "none":
+            params, n = warm_start(config.weights, self.state.params)
+            self.state = dataclasses.replace(self.state, params=params)
+            print(f"LOADED MODEL: {config.weights} ({n} tensors)")
+        self.state = jax.device_put(self.state, replicated(self.mesh))
+        self.train_step = make_train_step(
+            self.model, self.optimizer, compute_dtype=self.dtype)
+        self.eval_step = make_eval_step(self.model, compute_dtype=self.dtype)
+        self.savename = config.savename(n_data)
+        os.makedirs(self.savename, exist_ok=True)
+        self.log = MetricsLogger(self.savename)
+        self.best_acc = 0.0
+
+    # ------------------------------------------------------------- train ----
+    def train_one_epoch(self, epoch: int) -> Dict[str, float]:
+        cfg = self.config
+        table = self.datasets["training"][0]
+        pipe = HostPipeline(table, cfg, self.global_bs, seed=cfg.seed + epoch)
+        class_embed = jax.device_put(table.class_embed, replicated(self.mesh))
+        new_opt = set_lr(self.state.opt_state, self.lr_at(epoch))
+        self.state = dataclasses.replace(self.state, opt_state=new_opt)
+
+        batch_t, model_t = Timer(), Timer()
+        losses, accs = [], []
+        rng = jax.random.PRNGKey((cfg.seed << 16) + epoch)
+        it = iter(pipe)
+        i = 0
+        while True:
+            with batch_t:
+                host = next(it, None)
+            if host is None:
+                break
+            with model_t:
+                batch = device_batch(host, table.n_clips, cfg.clip_len)
+                sharded = shard_batch(self.mesh, batch)
+                rng, step_rng = jax.random.split(rng)
+                self.state, metrics = self.train_step(
+                    self.state, sharded["x"], sharded["z"], sharded["label"],
+                    sharded["weight"], class_embed, step_rng)
+            losses.append(metrics["loss"])
+            accs.append(metrics["train_accuracy"])
+            if (i + 1) % cfg.log_every == 0:
+                step = int(jax.device_get(self.state.step))
+                self.log.scalar("Train/Loss", float(losses[-1]), step)
+                self.log.scalar("Train/RegressorAccuracy", float(accs[-1]), step)
+            i += 1
+            if i * self.global_bs > cfg.epoch_sample_cap:  # main.py:208
+                break
+        loss = float(np.mean([float(l) for l in losses])) if losses else 0.0
+        acc = float(np.mean([float(a) for a in accs])) if accs else 0.0
+        clips = i * self.global_bs * table.n_clips
+        total_t = batch_t.total + model_t.total
+        print(colored(f"Train Accuracy: regressor {acc:2.1f}%", "red"))
+        print(
+            "TOTAL time for: load the batch %.2f sec, run the model %.2f sec, "
+            "train %.2f min | %.1f clips/sec"
+            % (batch_t.total, model_t.total, total_t / 60,
+               clips / max(total_t, 1e-9)))
+        return {"loss": loss, "train_accuracy": acc,
+                "clips_per_sec": clips / max(total_t, 1e-9)}
+
+    # -------------------------------------------------------------- eval ----
+    def evaluate(self, table: VideoTable, epoch: int) -> Dict[str, float]:
+        cfg = self.config
+        pipe = HostPipeline(table, cfg, max(self.global_bs // max(table.n_clips, 1), 1),
+                            seed=cfg.seed)
+        preds, trues, labels = [], [], []
+        params, mstate = self.state.params, self.state.model_state
+        for host in pipe:
+            batch = device_batch(host, table.n_clips, cfg.clip_len)
+            emb = np.asarray(self.eval_step(params, mstate, batch["x"]))
+            keep = np.asarray(host.weight) > 0
+            preds.append(emb[keep])
+            trues.append(host.z[keep])
+            labels.append(host.label[keep])
+        pred = np.concatenate(preds)
+        true_e = np.concatenate(trues)
+        true_l = np.concatenate(labels)
+        acc, acc5 = compute_accuracy(pred, table.class_embed, true_e)
+        self.log.scalar(f"{table.name}/Accuracy", acc, epoch)
+        self.log.scalar(f"{table.name}/Accuracy_Top5", acc5, epoch)
+        self.log.csv_append(f"{table.name}_accuracy.csv",
+                            "%d, %.1f,%.1f" % (epoch, acc, acc5))
+        res = f"{table.name.upper()} Epoch {epoch}: Test accuracy: {acc:2.1f}%."
+        out = {"accuracy": acc, "accuracy_top5": acc5}
+        if cfg.split == -1 and len(table.classes) >= 4:
+            sp = split_protocol(pred, table.class_embed, true_l, true_e)
+            out.update(sp)
+            self.log.scalar(f"{table.name}/AccSplit_Mean",
+                            sp["accuracy_split_mean"], epoch)
+            self.log.scalar(f"{table.name}/AccSplit_Std",
+                            sp["accuracy_split_std"], epoch)
+            self.log.scalar(f"{table.name}/AccSplit_Mean_Top5",
+                            sp["accuracy_split_top5_mean"], epoch)
+            self.log.csv_append(
+                f"{table.name}_accuracy_splits.csv",
+                "%d, %.1f,%.1f,%.1f,%.1f" % (
+                    epoch, sp["accuracy_split_mean"], sp["accuracy_split_std"],
+                    sp["accuracy_split_top5_mean"], sp["accuracy_split_top5_std"]))
+            res += " -- Split accuracy %2.1f%% (+-%.1f) on %d classes" % (
+                sp["accuracy_split_mean"], sp["accuracy_split_std"],
+                sp["n_split_classes"])
+        print(colored(res, "green"))
+        return out
+
+    # --------------------------------------------------------------- loop ---
+    def run(self) -> Dict[str, float]:
+        cfg = self.config
+        trainsamples = (len(self.datasets["training"][0])
+                        if self.datasets["training"] else 0)
+        epoch_times = []
+        summary = {}
+        for epoch in range(cfg.n_epochs):
+            print(f"\n{cfg.network.upper()} {cfg.dataset.upper()} "
+                  f"LR {self.lr_at(epoch)} BS {self.global_bs} "
+                  f"CLIP_LEN {cfg.clip_len} N_CLIPS {cfg.n_clips} "
+                  f"OVERLAP {cfg.class_overlap} SAMPLES {trainsamples}")
+            t0 = time.time()
+            if not cfg.evaluate and self.datasets["training"]:
+                summary.update(self.train_one_epoch(epoch))
+            accuracies = []
+            for table in self.datasets["testing"]:
+                r = self.evaluate(table, epoch)
+                accuracies.append(r["accuracy"])
+                summary[f"{table.name}_accuracy"] = r["accuracy"]
+            mean_acc = float(np.mean(accuracies)) if accuracies else 0.0
+            if mean_acc > self.best_acc:
+                save_checkpoint(
+                    os.path.join(self.savename, "checkpoint.npz"),
+                    jax.device_get(self.state), epoch, mean_acc,
+                    cfg.to_json())
+                self.best_acc = mean_acc
+            epoch_times.append(time.time() - t0)
+            print("----- Epoch %d done in %.2f min. Best accuracy %.1f"
+                  % (epoch, epoch_times[-1] / 60, self.best_acc))
+            if cfg.evaluate:
+                break
+        summary["best_accuracy"] = self.best_acc
+        self.log.close()
+        return summary
+
+
+def main(argv=None):
+    config = config_from_args(argv)
+    wv_model = None
+    if "synthetic" not in config.dataset:
+        from zeroshotvideoclassification_tpu.text import load_word2vec
+
+        wv_model = load_word2vec(config.word2vec_path, config.word2vec_cache)
+    datasets = build_datasets(config, wv_model)
+    exp = Experiment(config, datasets)
+    return exp.run()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""Host-side decode: JPEG frame dirs, video files, npy clips -> uint8 frames.
+
+Decode stays on the host by design (BASELINE.json): the device only ever sees
+the packed uint8 canvas. Three loader kinds mirror the reference:
+  * frame_dir: JPEG directories `fname/images/img_%05d.jpg`
+    (/root/reference/auxiliary/auxiliary_dataset.py:211-266) — the ACTIVE path
+  * video: cv2.VideoCapture sequential decode (ibid. :158-208)
+  * npy: np.load(mmap_mode='r') pre-cut ActivityNet clips
+    (/root/reference/auxiliary/auxiliary_activitynet.py:22-50)
+
+Each returns (frames [n_clips*clip_len, h, w, 3] RGB uint8, ok: bool); any
+failure returns ok=False and the caller emits a weight-0 sample (the
+reference's label==-1 noise convention). The native C++ libjpeg decoder
+(native/) plugs in behind decode_frame_dir when built.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from zeroshotvideoclassification_tpu.data.sampling import tsn_frame_indices
+
+try:  # optional; the synthetic pipeline and npy path work without it
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+_native = None
+
+
+def _get_native():
+    global _native
+    if _native is None:
+        try:
+            from zeroshotvideoclassification_tpu.data import native_decode
+            _native = native_decode if native_decode.available() else False
+        except Exception:
+            _native = False
+    return _native
+
+
+def decode_frame_dir(
+    fname: str,
+    clip_len: int,
+    n_clips: int,
+    is_validation: bool,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[Optional[np.ndarray], bool]:
+    """JPEG frame directory -> sampled frames (the active training path)."""
+    images_dir = os.path.join(fname, "images")
+    if not os.path.isdir(images_dir):
+        return None, False
+    frame_count = len(glob.glob(os.path.join(images_dir, "*")))
+    if frame_count == 0:
+        return None, False
+    idx = tsn_frame_indices(frame_count, clip_len, n_clips, is_validation, rng)
+    paths = [os.path.join(images_dir, "img_%05d.jpg" % (i + 1)) for i in idx]
+
+    native = _get_native()
+    if native:
+        frames = native.decode_jpeg_batch(paths)
+        if frames is not None:
+            return frames, True
+
+    if cv2 is None:
+        return None, False
+    frames = []
+    for p in paths:
+        img = cv2.imread(p)
+        if img is None:
+            if not frames:
+                return None, False
+            img = frames[-1].copy()
+            frames.append(img)
+            continue
+        frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+    return np.stack(frames), True
+
+
+def decode_video(
+    fname: str,
+    clip_len: int,
+    n_clips: int,
+    is_validation: bool,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[Optional[np.ndarray], bool]:
+    """cv2 sequential video decode with repeat-last fill for bad frames."""
+    if cv2 is None or not os.path.exists(fname):
+        return None, False
+    cap = cv2.VideoCapture(fname)
+    try:
+        frame_count = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        if frame_count == 0 or w == 0 or h == 0:
+            return None, False
+        idx = tsn_frame_indices(frame_count, clip_len, n_clips, is_validation, rng)
+        wanted = set(int(i) for i in idx)
+        decoded = {}
+        last = None
+        for pos in range(max(wanted) + 1):
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if pos in wanted:
+                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                decoded[pos] = frame
+                last = frame
+        if not decoded:
+            return None, False
+        out, last = [], None
+        for i in idx:
+            f = decoded.get(int(i))
+            if f is None:
+                f = last if last is not None else next(iter(decoded.values()))
+            out.append(f)
+            last = f
+        return np.stack(out), True
+    finally:
+        cap.release()
+
+
+def decode_npy(
+    fname: str,
+    clip_len: int,
+    n_clips: int,
+    is_validation: bool,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[Optional[np.ndarray], bool]:
+    """Pre-cut ActivityNet clip: mmap gather with the 'drop' fill + 300 cap."""
+    if not os.path.exists(fname):
+        return None, False
+    try:
+        clip = np.load(fname, mmap_mode="r")
+    except ValueError:
+        return None, False
+    frame_count = clip.shape[0]
+    if frame_count == 0:
+        return None, False
+    idx = tsn_frame_indices(
+        frame_count, clip_len, n_clips, is_validation, rng,
+        fill="drop", frame_cap=300)
+    return np.ascontiguousarray(clip[idx]), True
+
+
+DECODERS = {
+    "frame_dir": decode_frame_dir,
+    "video": decode_video,
+    "npy": decode_npy,
+}

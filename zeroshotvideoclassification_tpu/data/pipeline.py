@@ -1,0 +1,202 @@
+"""Host input pipeline: decode -> canvas packing -> transform params -> device.
+
+Replaces the reference's torch DataLoader worker processes
+(/root/reference/dataset.py:26-28) with a thread-pool decode stage feeding
+static-shape host batches:
+
+  {canvas  uint8 [B, nc*cl, Hc, Wc, 3],     # frames packed top-left
+   y0/y1/wy/x0/x1/wx  [B, S],               # fused-transform gather indices
+   z [B, 300], label [B] int32, weight [B] float32}
+
+All randomness (TSN starts, crop, flip) is drawn host-side per sample; the
+device applies ops.resample.fused_video_transform and reshapes to
+[B, nc, cl, S, S, 3]. Broken/missing samples get weight 0 (the reference's
+label==-1 convention, auxiliary_dataset.py:502-505) — batch shapes never
+change. The last partial batch is zero-weight-padded (reference uses
+drop_last=False, dataset.py:28).
+
+Oversize sources (frames larger than the canvas) are host-pre-resized to the
+target short side first — a documented double-resample for rare inputs; the
+common UCF/HMDB/Kinetics frame sizes take the exact one-resample path.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import dataclasses
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+from zeroshotvideoclassification_tpu.data.datasets import VideoTable
+from zeroshotvideoclassification_tpu.data.decode import DECODERS
+from zeroshotvideoclassification_tpu.data.transform_params import (
+    TransformParams,
+    make_transform_params,
+    resample_indices,
+    resized_dims,
+)
+
+
+def _fit_to_canvas(frames: np.ndarray, canvas_hw, short_side: int) -> np.ndarray:
+    """Pre-shrink frames that exceed the canvas (keeps aspect; cv2 bilinear)."""
+    t, h, w, _ = frames.shape
+    ch, cw = canvas_hw
+    if h <= ch and w <= cw:
+        return frames
+    import cv2
+
+    scale = min(1.0, ch / h, cw / w)
+    # never shrink below the resize target's short side
+    scale = max(scale, min(1.0, float(short_side) / min(h, w)))
+    nh, nw = min(int(h * scale), ch), min(int(w * scale), cw)
+    out = np.empty((t, nh, nw, 3), np.uint8)
+    for i in range(t):
+        out[i] = cv2.resize(frames[i], (nw, nh), interpolation=cv2.INTER_LINEAR)
+    return out
+
+
+@dataclasses.dataclass
+class HostBatch:
+    canvas: np.ndarray
+    y0: np.ndarray
+    y1: np.ndarray
+    wy: np.ndarray
+    x0: np.ndarray
+    x1: np.ndarray
+    wx: np.ndarray
+    z: np.ndarray
+    label: np.ndarray
+    weight: np.ndarray
+
+    def resample_args(self):
+        return (self.canvas, self.y0, self.y1, self.wy, self.x0, self.x1, self.wx)
+
+
+class HostPipeline:
+    """Iterable over HostBatch for one VideoTable."""
+
+    def __init__(
+        self,
+        table: VideoTable,
+        config,
+        batch_size: int,
+        seed: int = 0,
+        workers: Optional[int] = None,
+        synthetic_source=None,
+    ):
+        self.table = table
+        self.config = config
+        self.bs = batch_size
+        self.seed = seed
+        self.epoch = 0
+        self.crop = config.size
+        self.short_side = 128 if config.size == 112 else 256
+        self.canvas_hw = tuple(config.canvas_hw)
+        import os as _os
+        self.workers = workers if workers is not None else (
+            config.decode_workers or (_os.cpu_count() or 1))
+        self._source = synthetic_source
+        if table.loader == "synthetic" and self._source is None:
+            from zeroshotvideoclassification_tpu.data.synthetic import (
+                SyntheticVideoSource,
+            )
+            self._source = SyntheticVideoSource()
+
+    def __len__(self) -> int:
+        return (len(self.table) + self.bs - 1) // self.bs
+
+    # -------------------------------------------------------------- decode --
+    def _decode_one(self, i: int, rng: np.random.Generator):
+        t = self.table
+        nc, cl = t.n_clips, self.config.clip_len
+        if t.loader == "synthetic":
+            cid, sidx = t.fnames[i]
+            frames, ok = self._source.decode(
+                int(cid), int(sidx), cl, nc, t.is_validation, rng)
+        else:
+            frames, ok = DECODERS[t.loader](
+                str(t.fnames[i]), cl, nc, t.is_validation, rng)
+        if not ok or frames is None:
+            return None
+        return _fit_to_canvas(frames, self.canvas_hw, self.short_side)
+
+    # --------------------------------------------------------------- batch --
+    def _assemble(self, decoded, labels) -> HostBatch:
+        t = self.table
+        b = len(decoded)
+        nc_cl = t.n_clips * self.config.clip_len
+        ch, cw = self.canvas_hw
+        canvas = np.zeros((b, nc_cl, ch, cw, 3), np.uint8)
+        src_hw = np.ones((b, 2), np.int32)
+        weight = np.zeros((b,), np.float32)
+        label = np.full((b,), -1, np.int32)
+        z = np.zeros((b, 300), np.float32)
+        rng = self._rng
+        for k, frames in enumerate(decoded):
+            if frames is None:
+                continue
+            fh, fw = frames.shape[1], frames.shape[2]
+            canvas[k, :, :fh, :fw] = frames
+            src_hw[k] = (fh, fw)
+            weight[k] = 1.0
+            label[k] = labels[k]
+            z[k] = t.class_embed[labels[k]]
+        params = make_transform_params(
+            src_hw, self.crop, t.is_validation, rng, self.short_side)
+        idx = resample_indices(params, self.crop)
+        return HostBatch(
+            canvas=canvas, y0=idx.y0, y1=idx.y1, wy=idx.wy,
+            x0=idx.x0, x1=idx.x1, wx=idx.wx,
+            z=z, label=label, weight=weight)
+
+    def __iter__(self) -> Iterator[HostBatch]:
+        t = self.table
+        n = len(t)
+        self._rng = np.random.default_rng((self.seed, self.epoch))
+        order = np.arange(n)
+        if not t.is_validation:
+            order = self._rng.permutation(n)
+        self.epoch += 1
+
+        # Per-sample child RNGs keep decode deterministic under thread pools.
+        child_seeds = self._rng.integers(0, 2**63 - 1, size=n)
+
+        def decode(i):
+            return self._decode_one(
+                int(order[i]), np.random.default_rng(int(child_seeds[i])))
+
+        with cf.ThreadPoolExecutor(max_workers=self.workers) as pool:
+            for start in range(0, n, self.bs):
+                ids = list(range(start, min(start + self.bs, n)))
+                decoded = list(pool.map(decode, ids))
+                labels = [int(t.label_idx[order[i]]) for i in ids]
+                # zero-weight pad the final partial batch to static shape
+                while len(decoded) < self.bs:
+                    decoded.append(None)
+                    labels.append(-1)
+                yield self._assemble(decoded, labels)
+
+
+def device_batch(host_batch: HostBatch, n_clips: int, clip_len: int,
+                 out_dtype=None) -> Dict:
+    """Run the fused transform and shape the model input.
+    -> {'x': [B, nc, cl, S, S, 3], 'z', 'label', 'weight'}."""
+    import jax.numpy as jnp
+
+    from zeroshotvideoclassification_tpu.ops.resample import (
+        fused_video_transform,
+    )
+
+    kw = {}
+    if out_dtype is not None:
+        kw["out_dtype"] = out_dtype
+    x = fused_video_transform(*host_batch.resample_args(), **kw)
+    b, t, s, _, c = x.shape
+    x = x.reshape(b, n_clips, clip_len, s, s, c)
+    return {
+        "x": x,
+        "z": jnp.asarray(host_batch.z),
+        "label": jnp.asarray(host_batch.label),
+        "weight": jnp.asarray(host_batch.weight),
+    }

@@ -63,21 +63,59 @@ def conv3d(
 ) -> jax.Array:
     """x: [N, D, H, W, Cin] -> [N, D', H', W', Cout]."""
     w = params["w"].astype(compute_dtype)
-    pad = [(p, p) for p in padding_dhw]
-    # full f32 when the caller asked for f32 compute (parity/tests); the bf16
-    # production path keeps the fast default (MXU bf16 with f32 accumulate).
+    x = x.astype(compute_dtype)
+    kd, kh, kw = w.shape[:3]
+    sd, sh, sw = stride_dhw
+    pd, ph, pw = padding_dhw
+    # f32 path: full 'highest' precision (parity/tests). bf16 path: keep the
+    # conv output in bf16 (MXU accumulates in f32 internally; requesting an
+    # f32 preferred_element_type on bf16 inputs breaks the conv VJP's dtype
+    # matching in jax 0.9) — every BN/linear after a conv upcasts to f32.
     precision = "highest" if compute_dtype == jnp.float32 else None
-    y = jax.lax.conv_general_dilated(
-        x.astype(compute_dtype),
-        w,
-        window_strides=tuple(stride_dhw),
-        padding=pad,
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+
+    # Optional decomposition experiments (ZSVC_CONV_FOLD=spatial,temporal):
+    # folding (1,k,k) kernels into 2D convs wins in single-op microbenchmarks
+    # (84 vs 49 TFLOP/s) but LOSES end-to-end (140 vs 220 clips/s on v5e) —
+    # XLA's native 3-spatial-dim lowering already picks better layouts across
+    # the whole graph, and the manual reshapes block fusion. Default: off.
+    import os as _os
+    _fold = _os.environ.get("ZSVC_CONV_FOLD", "none")
+    if kd == 1 and pd == 0 and "spatial" in _fold:
+        # Spatial-only kernel as a true 2D conv; a temporal stride on a
+        # 1-deep kernel is plain subsampling, applied first.
+        if sd != 1:
+            x = x[:, ::sd]
+        n, t, h, wd, c = x.shape
+        y = jax.lax.conv_general_dilated(
+            x.reshape(n * t, h, wd, c), w[0],
+            window_strides=(sh, sw), padding=[(ph, ph), (pw, pw)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=precision,
+        )
+        y = y.reshape(n, t, y.shape[1], y.shape[2], y.shape[3])
+    elif kh == 1 and kw == 1 and ph == 0 and pw == 0 and "temporal" in _fold:
+        # Temporal-only kernel: run as a 2D conv over (T, H*W). A spatial
+        # stride on a 1x1 kernel is plain subsampling.
+        if sh != 1 or sw != 1:
+            x = x[:, :, ::sh, ::sw]
+        n, t, h, wd, c = x.shape
+        y = jax.lax.conv_general_dilated(
+            x.reshape(n, t, h * wd, c), w[:, 0],
+            window_strides=(sd, 1), padding=[(pd, pd), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=precision,
+        )
+        y = y.reshape(n, y.shape[1], h, wd, y.shape[3])
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, w,
+            window_strides=tuple(stride_dhw),
+            padding=[(p, p) for p in padding_dhw],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            precision=precision,
+        )
     if "b" in params:
-        y = y + params["b"].astype(jnp.float32)
+        y = y + params["b"].astype(compute_dtype)
     return y
 
 
@@ -128,11 +166,8 @@ def batchnorm_apply(
 def linear(x: jax.Array, params, compute_dtype=None) -> jax.Array:
     dtype = compute_dtype or x.dtype
     precision = "highest" if dtype == jnp.float32 else None
-    y = jnp.dot(
-        x.astype(dtype), params["w"].astype(dtype),
-        preferred_element_type=jnp.float32, precision=precision,
-    )
-    return y + params["b"].astype(jnp.float32)
+    y = jnp.dot(x.astype(dtype), params["w"].astype(dtype), precision=precision)
+    return (y.astype(jnp.float32) + params["b"].astype(jnp.float32))
 
 
 # ---------------------------------------------------------------- pooling ---

@@ -41,8 +41,9 @@ def nearest_class(pred: jax.Array, class_embed: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def topk_classes(pred: jax.Array, class_embed: jax.Array, k: int = 5) -> jax.Array:
-    """k nearest classes by cosine distance -> [N, k] int32 (ties: larger
-    similarity first, matching argsort-of-distance order for distinct values)."""
+    """k nearest classes by cosine distance -> [N, min(k, C)] int32 (ties:
+    larger similarity first, matching argsort-of-distance order for distinct
+    values; k clamps to the class count like argsort[:, :5] does)."""
     sim = -cosine_distances(pred, class_embed)
-    _, idx = jax.lax.top_k(sim, k)
+    _, idx = jax.lax.top_k(sim, min(k, sim.shape[1]))
     return idx.astype(jnp.int32)
