@@ -1,0 +1,133 @@
+"""Host pipeline + dataset composition tests (synthetic + on-disk fixtures)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from zeroshotvideoclassification_tpu.config import Config
+from zeroshotvideoclassification_tpu.data.datasets import (
+    build_datasets,
+    clean_kinetics,
+    get_hmdb,
+    get_ucf101,
+)
+from zeroshotvideoclassification_tpu.data.pipeline import HostPipeline, device_batch
+
+
+def _cfg(**kw):
+    base = dict(dataset="synthetic", class_total=4, train_samples=16, bs=4,
+                clip_len=4, canvas_hw=(192, 224))
+    base.update(kw)
+    return Config(**base)
+
+
+def test_synthetic_datasets_are_zero_shot():
+    cfg = _cfg()
+    ds = build_datasets(cfg, None)
+    train, test = ds["training"][0], ds["testing"][0]
+    assert set(train.classes).isdisjoint(set(test.classes))
+    assert train.class_embed.shape[1] == 300
+    np.testing.assert_allclose(
+        np.linalg.norm(test.class_embed, axis=1), 1.0, atol=1e-5)
+
+
+def test_pipeline_shapes_and_determinism():
+    cfg = _cfg()
+    ds = build_datasets(cfg, None)
+    table = ds["training"][0]
+    p1 = list(HostPipeline(table, cfg, 4, seed=7))
+    p2 = list(HostPipeline(table, cfg, 4, seed=7))
+    assert len(p1) == len(p2) == (len(table) + 3) // 4
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(a.canvas, b.canvas)
+        np.testing.assert_array_equal(a.x0, b.x0)
+        np.testing.assert_array_equal(a.label, b.label)
+    hb = p1[0]
+    assert hb.canvas.shape == (4, 4, 192, 224, 3)
+    assert hb.weight.sum() == 4
+
+
+def test_pipeline_epoch_reshuffles():
+    cfg = _cfg()
+    ds = build_datasets(cfg, None)
+    table = ds["training"][0]
+    pipe = HostPipeline(table, cfg, 4, seed=7)
+    e1 = [b.label.copy() for b in pipe]
+    e2 = [b.label.copy() for b in pipe]
+    assert not all(np.array_equal(a, b) for a, b in zip(e1, e2))
+
+
+def test_pipeline_validation_order_stable_and_padded():
+    cfg = _cfg()
+    ds = build_datasets(cfg, None)
+    table = ds["testing"][0]  # 16 samples, bs 5 -> last batch padded
+    pipe = HostPipeline(table, cfg, 5, seed=0)
+    batches = list(pipe)
+    assert batches[-1].weight.sum() < 5  # zero-weight padding
+    labels = np.concatenate([b.label[b.weight > 0] for b in batches])
+    np.testing.assert_array_equal(labels, table.label_idx)
+
+
+def test_device_batch_shapes():
+    cfg = _cfg()
+    ds = build_datasets(cfg, None)
+    table = ds["training"][0]
+    hb = next(iter(HostPipeline(table, cfg, 4, seed=0)))
+    batch = device_batch(hb, table.n_clips, cfg.clip_len)
+    assert batch["x"].shape == (4, 1, 4, 112, 112, 3)
+    x = np.asarray(batch["x"])
+    assert x.min() >= -0.5 - 1e-6 and x.max() <= 1e-6
+
+
+def test_multi_clip_eval_batch():
+    cfg = _cfg()
+    ds = build_datasets(cfg, None)
+    table = ds["testing"][0]
+    assert table.n_clips == cfg.eval_n_clips == 4
+    hb = next(iter(HostPipeline(table, cfg, 2, seed=0)))
+    assert hb.canvas.shape[1] == 4 * cfg.clip_len
+    batch = device_batch(hb, table.n_clips, cfg.clip_len)
+    assert batch["x"].shape == (2, 4, 4, 112, 112, 3)
+
+
+# ------------------------------------------------------- on-disk catalogs ---
+
+@pytest.fixture
+def fake_root(tmp_path):
+    root = tmp_path
+    ucf = root / "UCF101" / "frames"
+    for name in ["v_ApplyEyeMakeup_g01_c01", "v_Basketball_g01_c01",
+                 "v_Basketball_g02_c03"]:
+        (ucf / name / "images").mkdir(parents=True)
+    hm = root / "HMDB51"
+    (hm / "frames" / "vid1").mkdir(parents=True)
+    (hm / "frames" / "vid2").mkdir(parents=True)
+    (hm / "hmdb51_classes.txt").write_text("brush_hair 0\nclimb 1\n")
+    (hm / "hmdb51.json").write_text(json.dumps({
+        "database": {"vid1": {"annotations": 0}, "vid2": {"annotations": 1}}}))
+    return str(root)
+
+
+def test_get_ucf101_catalog(fake_root):
+    fnames, labels, classes = get_ucf101(fake_root)
+    assert len(fnames) == 3
+    assert list(classes) == ["ApplyEyeMakeup", "Basketball"]
+    assert labels[0] == "ApplyEyeMakeup" and labels[1] == "Basketball"
+
+
+def test_get_hmdb_catalog(fake_root):
+    fnames, labels, classes = get_hmdb(fake_root)
+    assert len(fnames) == 2
+    assert list(classes) == ["brush hair", "climb"]
+
+
+def test_clean_kinetics_scrub(tmp_path):
+    blist = tmp_path / "broken.txt"
+    blist.write_text("frames/bad_video\n")
+    fnames = np.asarray(["/data/k700/frames/good_video",
+                         "/data/k700/frames/bad_video"], object)
+    labels = np.asarray(["a", "b"])
+    f, l = clean_kinetics(fnames, labels, str(blist))
+    assert list(f) == ["/data/k700/frames/good_video"]

@@ -1,0 +1,91 @@
+"""SUN still-image camera-motion path: trajectory math + device kernel parity.
+
+Oracle: reference semantics re-derived — crop img[y:y+side, x:x+side], torch
+bilinear resize to (112,112) (half-pixel, size-ratio mapping), per-channel
+Kinetics mean/std normalization. (The reference used PIL's antialiased
+resize; the framework uses plain bilinear — a documented divergence on this
+pretraining-only path — so the oracle here uses torch non-antialiased resize.)
+"""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from zeroshotvideoclassification_tpu.config import Config
+from zeroshotvideoclassification_tpu.data.datasets import VideoTable
+from zeroshotvideoclassification_tpu.data.pipeline import HostPipeline, device_batch
+from zeroshotvideoclassification_tpu.data.stillimages import (
+    KINETICS_MEAN,
+    KINETICS_STD,
+    camera_motion_trajectory,
+    motion_resample_indices,
+)
+from zeroshotvideoclassification_tpu.ops.resample import (
+    fused_image_motion_transform,
+)
+
+CROP = 112
+
+
+def test_trajectory_bounds(rng):
+    for _ in range(20):
+        hw = (int(rng.integers(180, 400)), int(rng.integers(180, 400)))
+        traj = camera_motion_trajectory(hw, CROP, 16, rng)
+        assert traj.shape == (16, 3)
+        y, x, side = traj[:, 0], traj[:, 1], traj[:, 2]
+        assert (side >= CROP).all()
+        assert (y >= 0).all() and (x >= 0).all()
+        assert (y + side <= hw[0] + 1).all() and (x + side <= hw[1] + 1).all()
+
+
+def _oracle_frame(img_u8, y, x, side):
+    crop = img_u8[y:y + side, x:x + side].astype(np.float32) / 255.0
+    t = torch.from_numpy(crop).permute(2, 0, 1)[None]
+    t = F.interpolate(t, size=(CROP, CROP), mode="bilinear", align_corners=False)
+    t = (t[0].permute(1, 2, 0).numpy() - KINETICS_MEAN) / KINETICS_STD
+    return t
+
+
+def test_motion_kernel_matches_oracle(rng):
+    img = rng.integers(0, 256, size=(240, 320, 3), dtype=np.uint8)
+    traj = camera_motion_trajectory((240, 320), CROP, 4, rng)
+    y0, y1, wy, x0, x1, wx = motion_resample_indices(traj, (240, 320), CROP)
+    from zeroshotvideoclassification_tpu.data.stillimages import CH_OFFSET, CH_SCALE
+
+    out = np.asarray(fused_image_motion_transform(
+        img[None], y0[None], y1[None], wy[None], x0[None], x1[None], wx[None],
+        CH_SCALE, CH_OFFSET))
+    assert out.shape == (1, 4, CROP, CROP, 3)
+    for f, (y, x, side) in enumerate(traj):
+        want = _oracle_frame(img, y, x, side)
+        np.testing.assert_allclose(out[0, f], want, atol=2e-4)
+
+
+def test_sun_pipeline_end_to_end(tmp_path, rng):
+    import cv2
+
+    paths = []
+    for i in range(4):
+        img = rng.integers(0, 256, size=(200, 260, 3), dtype=np.uint8)
+        p = str(tmp_path / f"im{i}.jpg")
+        cv2.imwrite(p, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        paths.append(p)
+    paths.append(str(tmp_path / "missing.jpg"))  # broken sample
+
+    emb = rng.normal(size=(2, 300)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    table = VideoTable(
+        name="sun", fnames=np.asarray(paths, object),
+        label_idx=np.asarray([0, 1, 0, 1, 0], np.int32),
+        classes=["a", "b"], class_embed=emb, loader="image",
+        is_validation=False, n_clips=1)
+    cfg = Config(dataset="sun2both", clip_len=4, canvas_hw=(512, 512))
+    hb = next(iter(HostPipeline(table, cfg, 5, seed=0)))
+    assert hb.image_mode and hb.canvas.shape == (5, 512, 512, 3)
+    assert hb.weight.sum() == 4  # the missing image got weight 0
+    batch = device_batch(hb, 1, 4)
+    assert batch["x"].shape == (5, 1, 4, CROP, CROP, 3)
+    x = np.asarray(batch["x"])
+    assert np.isfinite(x).all()
+    # normalized scale: values roughly in (-2.1, 2.9) for uint8 inputs
+    assert x.min() > -3 and x.max() < 3.5

@@ -73,15 +73,37 @@ class Experiment:
         self.dtype = _dtype(config)
         self.state = create_train_state(
             self.model, self.optimizer, jax.random.PRNGKey(config.seed))
-        if config.weights and config.weights != "none":
-            params, n = warm_start(config.weights, self.state.params)
-            self.state = dataclasses.replace(self.state, params=params)
-            print(f"LOADED MODEL: {config.weights} ({n} tensors)")
+        base = config.savename(n_data)
+        if config.evaluate:
+            # --evaluate auto-points at the run's best checkpoint and logs to
+            # an evaluation/ subdir (reference main.py:102-104, fixed path
+            # construction — quirk #14)
+            from zeroshotvideoclassification_tpu.train import load_checkpoint
+
+            ckpt = (config.weights if config.weights
+                    and config.weights != "none"
+                    else os.path.join(base, "checkpoint.npz"))
+            if os.path.exists(ckpt):
+                self.state, meta = load_checkpoint(ckpt, self.state)
+                print(f"LOADED CHECKPOINT: {ckpt} "
+                      f"(epoch {meta.get('epoch')}, acc {meta.get('accuracy')})")
+            else:
+                print(f"WARNING: no checkpoint at {ckpt}; evaluating fresh init")
+            self.savename = os.path.join(base, "evaluation")
+        else:
+            if config.weights and config.weights != "none":
+                params, n = warm_start(config.weights, self.state.params)
+                self.state = dataclasses.replace(self.state, params=params)
+                print(f"LOADED MODEL: {config.weights} ({n} tensors)")
+            # de-dup the experiment dir with a _N suffix (main.py:94-97)
+            self.savename, count = base, 1
+            while os.path.exists(self.savename):
+                self.savename = base + f"_{count}"
+                count += 1
         self.state = jax.device_put(self.state, replicated(self.mesh))
         self.train_step = make_train_step(
             self.model, self.optimizer, compute_dtype=self.dtype)
         self.eval_step = make_eval_step(self.model, compute_dtype=self.dtype)
-        self.savename = config.savename(n_data)
         os.makedirs(self.savename, exist_ok=True)
         self.log = MetricsLogger(self.savename)
         self.best_acc = 0.0

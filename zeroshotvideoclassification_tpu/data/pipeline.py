@@ -68,6 +68,7 @@ class HostBatch:
     z: np.ndarray
     label: np.ndarray
     weight: np.ndarray
+    image_mode: bool = False  # SUN path: canvas [B,Hc,Wc,3], indices [B,T,S]
 
     def resample_args(self):
         return (self.canvas, self.y0, self.y1, self.wy, self.x0, self.x1, self.wx)
@@ -114,6 +115,14 @@ class HostPipeline:
             cid, sidx = t.fnames[i]
             frames, ok = self._source.decode(
                 int(cid), int(sidx), cl, nc, t.is_validation, rng)
+        elif t.loader == "image":
+            from zeroshotvideoclassification_tpu.data.stillimages import (
+                load_and_bound_image,
+            )
+            img = load_and_bound_image(str(t.fnames[i]))
+            if img is None:
+                return None
+            return self._fit_image(img)
         else:
             frames, ok = DECODERS[t.loader](
                 str(t.fnames[i]), cl, nc, t.is_validation, rng)
@@ -121,8 +130,24 @@ class HostPipeline:
             return None
         return _fit_to_canvas(frames, self.canvas_hw, self.short_side)
 
+    def _fit_image(self, img: np.ndarray) -> np.ndarray:
+        """Shrink a bounded SUN image to the canvas if needed (only its min
+        side is bounded by the reference; panoramas can exceed the canvas)."""
+        h, w = img.shape[:2]
+        ch, cw = self.canvas_hw
+        if h <= ch and w <= cw:
+            return img
+        import cv2
+
+        scale = min(ch / h, cw / w)
+        nh, nw = max(int(h * scale), self.crop + 1), max(int(w * scale), self.crop + 1)
+        return cv2.resize(img, (min(nw, cw), min(nh, ch)),
+                          interpolation=cv2.INTER_LINEAR)
+
     # --------------------------------------------------------------- batch --
     def _assemble(self, decoded, labels) -> HostBatch:
+        if self.table.loader == "image":
+            return self._assemble_image(decoded, labels)
         t = self.table
         b = len(decoded)
         nc_cl = t.n_clips * self.config.clip_len
@@ -149,6 +174,43 @@ class HostPipeline:
             canvas=canvas, y0=idx.y0, y1=idx.y1, wy=idx.wy,
             x0=idx.x0, x1=idx.x1, wx=idx.wx,
             z=z, label=label, weight=weight)
+
+    def _assemble_image(self, decoded, labels) -> HostBatch:
+        """SUN camera-motion batch: one image + per-frame crop trajectory."""
+        from zeroshotvideoclassification_tpu.data.stillimages import (
+            camera_motion_trajectory,
+            motion_resample_indices,
+        )
+
+        t = self.table
+        b = len(decoded)
+        n_steps = t.n_clips * self.config.clip_len
+        ch, cw = self.canvas_hw
+        s = self.crop
+        canvas = np.zeros((b, ch, cw, 3), np.uint8)
+        y0 = np.zeros((b, n_steps, s), np.int32)
+        y1 = np.zeros_like(y0)
+        wy = np.zeros((b, n_steps, s), np.float32)
+        x0 = np.zeros_like(y0)
+        x1 = np.zeros_like(y0)
+        wx = np.zeros_like(wy)
+        weight = np.zeros((b,), np.float32)
+        label = np.full((b,), -1, np.int32)
+        z = np.zeros((b, 300), np.float32)
+        for k, img in enumerate(decoded):
+            if img is None:
+                continue
+            ih, iw = img.shape[:2]
+            canvas[k, :ih, :iw] = img
+            traj = camera_motion_trajectory((ih, iw), s, n_steps, self._rng)
+            y0[k], y1[k], wy[k], x0[k], x1[k], wx[k] = motion_resample_indices(
+                traj, (ih, iw), s)
+            weight[k] = 1.0
+            label[k] = labels[k]
+            z[k] = t.class_embed[labels[k]]
+        return HostBatch(canvas=canvas, y0=y0, y1=y1, wy=wy, x0=x0, x1=x1,
+                         wx=wx, z=z, label=label, weight=weight,
+                         image_mode=True)
 
     def __iter__(self) -> Iterator[HostBatch]:
         t = self.table
@@ -191,7 +253,20 @@ def device_batch(host_batch: HostBatch, n_clips: int, clip_len: int,
     kw = {}
     if out_dtype is not None:
         kw["out_dtype"] = out_dtype
-    x = fused_video_transform(*host_batch.resample_args(), **kw)
+    if host_batch.image_mode:
+        from zeroshotvideoclassification_tpu.data.stillimages import (
+            CH_OFFSET,
+            CH_SCALE,
+        )
+        from zeroshotvideoclassification_tpu.ops.resample import (
+            fused_image_motion_transform,
+        )
+
+        x = fused_image_motion_transform(
+            *host_batch.resample_args(),
+            jnp.asarray(CH_SCALE), jnp.asarray(CH_OFFSET), **kw)
+    else:
+        x = fused_video_transform(*host_batch.resample_args(), **kw)
     b, t, s, _, c = x.shape
     x = x.reshape(b, n_clips, clip_len, s, s, c)
     return {
