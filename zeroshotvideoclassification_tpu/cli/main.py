@@ -121,6 +121,14 @@ class Experiment:
         losses, accs = [], []
         rng = jax.random.PRNGKey((cfg.seed << 16) + epoch)
         it = iter(pipe)
+        if cfg.progressbar:
+            try:
+                from tqdm import tqdm
+
+                it = iter(tqdm(pipe, total=len(pipe),
+                               desc=f"Epoch {epoch} Training..."))
+            except ImportError:
+                pass
         i = 0
         while True:
             with batch_t:

@@ -266,7 +266,16 @@ def device_batch(host_batch: HostBatch, n_clips: int, clip_len: int,
             *host_batch.resample_args(),
             jnp.asarray(CH_SCALE), jnp.asarray(CH_OFFSET), **kw)
     else:
-        x = fused_video_transform(*host_batch.resample_args(), **kw)
+        import os
+
+        if os.environ.get("ZSVC_PALLAS_RESAMPLE") == "1":
+            from zeroshotvideoclassification_tpu.ops.resample_pallas import (
+                fused_video_transform_pallas,
+            )
+
+            x = fused_video_transform_pallas(*host_batch.resample_args(), **kw)
+        else:
+            x = fused_video_transform(*host_batch.resample_args(), **kw)
     b, t, s, _, c = x.shape
     x = x.reshape(b, n_clips, clip_len, s, s, c)
     return {
