@@ -99,10 +99,10 @@ def run_bench(bs: int, clip_len: int, size: int, steps: int, warmup: int,
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--bs", type=int, default=32)
+    p.add_argument("--bs", type=int, default=16)
     p.add_argument("--clip_len", type=int, default=16)
     p.add_argument("--size", type=int, default=112)
-    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--steps", type=int, default=50)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--network", default="r2plus1d_18")
     p.add_argument("--smoke", action="store_true",

@@ -1,0 +1,120 @@
+"""Weight-porting round-trip tests.
+
+Builds a torchvision-style state_dict FROM our initialized params (inverse
+layout transform), runs it through models.porting, and asserts bit-identity —
+validating key naming, nesting, and every transpose without needing network
+access to real checkpoints.
+"""
+
+import numpy as np
+import jax
+
+from zeroshotvideoclassification_tpu.models.porting import (
+    port_c3d,
+    port_head,
+    port_video_resnet,
+)
+from zeroshotvideoclassification_tpu.models.c3d import C3DBackbone
+from zeroshotvideoclassification_tpu.models.resnet3d import (
+    mc3_18,
+    r2plus1d_18,
+    r3d_18,
+)
+
+
+def _to_torch_conv(w):  # DHWIO -> OIDHW
+    return np.transpose(np.asarray(w), (4, 3, 0, 1, 2))
+
+
+def _bn_to_sd(sd, prefix, p, s):
+    sd[prefix + ".weight"] = np.asarray(p["scale"])
+    sd[prefix + ".bias"] = np.asarray(p["bias"])
+    sd[prefix + ".running_mean"] = np.asarray(s["mean"])
+    sd[prefix + ".running_var"] = np.asarray(s["var"])
+
+
+def _export_video_resnet(params, state, arch):
+    """our pytrees -> torchvision state_dict naming."""
+    sd = {}
+    if arch == "r2plus1d_18":
+        sd["stem.0.weight"] = _to_torch_conv(params["stem"]["conv1"]["w"])
+        _bn_to_sd(sd, "stem.1", params["stem"]["bn1"], state["stem"]["bn1"])
+        sd["stem.3.weight"] = _to_torch_conv(params["stem"]["conv2"]["w"])
+        _bn_to_sd(sd, "stem.4", params["stem"]["bn2"], state["stem"]["bn2"])
+    else:
+        sd["stem.0.weight"] = _to_torch_conv(params["stem"]["conv1"]["w"])
+        _bn_to_sd(sd, "stem.1", params["stem"]["bn1"], state["stem"]["bn1"])
+
+    for si in range(4):
+        for bi in range(2):
+            ours, tv = f"layer{si + 1}_{bi}", f"layer{si + 1}.{bi}"
+            bp, bst = params[ours], state[ours]
+            for cn, bn in (("conv1", "bn1"), ("conv2", "bn2")):
+                if "conv_s" in bp[cn]:  # Conv2Plus1D Sequential nesting
+                    sd[f"{tv}.{cn}.0.0.weight"] = _to_torch_conv(bp[cn]["conv_s"]["w"])
+                    _bn_to_sd(sd, f"{tv}.{cn}.0.1", bp[cn]["bn_m"],
+                              bst[cn]["bn_m"])
+                    sd[f"{tv}.{cn}.0.3.weight"] = _to_torch_conv(bp[cn]["conv_t"]["w"])
+                else:
+                    sd[f"{tv}.{cn}.0.weight"] = _to_torch_conv(bp[cn]["conv"]["w"])
+                _bn_to_sd(sd, f"{tv}.{cn}.1", bp[bn], bst[bn])
+            if "downsample" in bp:
+                sd[f"{tv}.downsample.0.weight"] = _to_torch_conv(
+                    bp["downsample"]["conv"]["w"])
+                _bn_to_sd(sd, f"{tv}.downsample.1", bp["downsample"]["bn"],
+                          bst["downsample"]["bn"])
+    return sd
+
+
+def _assert_trees_equal(a, b):
+    la = jax.tree_util.tree_leaves_with_path(a)
+    lb = dict(jax.tree_util.tree_leaves_with_path(b))
+    assert len(la) == len(lb)
+    for path, leaf in la:
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(lb[path]), err_msg=str(path))
+
+
+def test_port_roundtrip_all_resnets():
+    for arch, ctor in (("r2plus1d_18", r2plus1d_18), ("r3d_18", r3d_18),
+                       ("mc3_18", mc3_18)):
+        model = ctor()
+        params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+        sd = _export_video_resnet(params, state, arch)
+        p2, s2 = port_video_resnet(sd, arch)
+        _assert_trees_equal(params, p2)
+        _assert_trees_equal(state, s2)
+
+
+def test_port_c3d_roundtrip():
+    model = C3DBackbone()
+    params, _ = jax.jit(model.init)(jax.random.PRNGKey(0))
+    sd = {}
+    for name in ("conv1", "conv2", "conv3a", "conv3b", "conv4a", "conv4b",
+                 "conv5a", "conv5b"):
+        sd[name + ".weight"] = _to_torch_conv(params[name]["w"])
+        sd[name + ".bias"] = np.asarray(params[name]["b"])
+    sd["fc6.weight"] = np.asarray(params["fc6"]["w"]).T
+    sd["fc6.bias"] = np.asarray(params["fc6"]["b"])
+    # extra keys (fc7/fc8 in real c3d.pickle) must be ignored
+    sd["fc7.weight"] = np.zeros((4096, 4096), np.float32)
+    p2, _ = port_c3d(sd)
+    _assert_trees_equal(params, p2)
+
+
+def test_port_head_mappings(rng):
+    sd = {
+        "output2emb_proj.layers.0.weight": rng.normal(size=(512, 512)).astype(np.float32),
+        "output2emb_proj.layers.0.bias": rng.normal(size=(512,)).astype(np.float32),
+        "output2emb_proj.layers.1.weight": rng.normal(size=(300, 512)).astype(np.float32),
+        "output2emb_proj.layers.1.bias": rng.normal(size=(300,)).astype(np.float32),
+        "regressor.weight": rng.normal(size=(300, 4096)).astype(np.float32),
+        "regressor.bias": rng.normal(size=(300,)).astype(np.float32),
+    }
+    mlp = port_head(sd, "mlp")
+    assert mlp["fc1"]["w"].shape == (512, 512)
+    assert mlp["fc2"]["w"].shape == (512, 300)
+    np.testing.assert_array_equal(
+        mlp["fc2"]["w"], sd["output2emb_proj.layers.1.weight"].T)
+    lin = port_head(sd, "c3d")
+    assert lin["regressor"]["w"].shape == (4096, 300)

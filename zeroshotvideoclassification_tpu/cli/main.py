@@ -71,9 +71,19 @@ class Experiment:
         self.optimizer = make_optimizer(config.lr)
         self.lr_at = multistep_lr(config.lr, config.n_epochs)
         self.dtype = _dtype(config)
+        if config.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         self.state = create_train_state(
             self.model, self.optimizer, jax.random.PRNGKey(config.seed))
+        self.start_epoch = 0
         base = config.savename(n_data)
+        if config.resume:
+            from zeroshotvideoclassification_tpu.train import load_checkpoint
+
+            self.state, meta = load_checkpoint(config.resume, self.state)
+            self.start_epoch = int(meta.get("epoch", -1)) + 1
+            self.best_acc_init = float(meta.get("accuracy", 0.0))
+            print(f"RESUMED: {config.resume} at epoch {self.start_epoch}")
         if config.evaluate:
             # --evaluate auto-points at the run's best checkpoint and logs to
             # an evaluation/ subdir (reference main.py:102-104, fixed path
@@ -90,6 +100,8 @@ class Experiment:
             else:
                 print(f"WARNING: no checkpoint at {ckpt}; evaluating fresh init")
             self.savename = os.path.join(base, "evaluation")
+        elif config.resume:
+            self.savename = os.path.dirname(config.resume) or base
         else:
             if config.weights and config.weights != "none":
                 params, n = warm_start(config.weights, self.state.params)
@@ -106,7 +118,7 @@ class Experiment:
         self.eval_step = make_eval_step(self.model, compute_dtype=self.dtype)
         os.makedirs(self.savename, exist_ok=True)
         self.log = MetricsLogger(self.savename)
-        self.best_acc = 0.0
+        self.best_acc = getattr(self, "best_acc_init", 0.0)
 
     # ------------------------------------------------------------- train ----
     def train_one_epoch(self, epoch: int) -> Dict[str, float]:
@@ -215,7 +227,7 @@ class Experiment:
                         if self.datasets["training"] else 0)
         epoch_times = []
         summary = {}
-        for epoch in range(cfg.n_epochs):
+        for epoch in range(self.start_epoch, cfg.n_epochs):
             print(f"\n{cfg.network.upper()} {cfg.dataset.upper()} "
                   f"LR {self.lr_at(epoch)} BS {self.global_bs} "
                   f"CLIP_LEN {cfg.clip_len} N_CLIPS {cfg.n_clips} "

@@ -44,6 +44,10 @@ class Config:
     weights: Optional[str] = None
     progressbar: bool = True
     evaluate: bool = False        # eval-only mode (25 clips/video)
+    resume: Optional[str] = None  # full-state resume (params+opt+step+epoch);
+                                  # the reference could only warm-start weights
+    debug_nans: bool = False      # jax_debug_nans mode (GradScaler-analog
+                                  # diagnostics; see SURVEY §5)
 
     # ---- TPU-native knobs (no reference equivalent) ----
     compute_dtype: str = "bfloat16"   # conv/matmul compute dtype; params stay fp32
@@ -135,6 +139,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--weights", default=None, type=str)
     p.add_argument("--progressbar", action="store_true", default=True)
     p.add_argument("--evaluate", action="store_true", default=False)
+    p.add_argument("--resume", default=None, type=str,
+                   help="checkpoint.npz to fully resume from (opt state, "
+                        "step and epoch included)")
+    p.add_argument("--debug_nans", action="store_true", default=False)
     # TPU extras
     p.add_argument("--compute_dtype", default=d.compute_dtype, type=str)
     p.add_argument("--seed", default=d.seed, type=int)
