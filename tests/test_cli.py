@@ -1,0 +1,53 @@
+"""End-to-end CLI smoke: train + zero-shot eval + checkpoint + resume on the
+synthetic dataset (tiny shapes; 8-device CPU mesh)."""
+
+import glob
+import json
+import os
+
+import numpy as np
+
+from zeroshotvideoclassification_tpu.cli.main import Experiment, main
+from zeroshotvideoclassification_tpu.config import config_from_args
+from zeroshotvideoclassification_tpu.data.datasets import build_datasets
+
+ARGS = [
+    "--dataset", "synthetic", "--class_total", "4", "--train_samples", "16",
+    "--bs", "8", "--n_epochs", "1", "--clip_len", "2", "--size", "32",
+    "--network", "r3d_18", "--compute_dtype", "float32", "--seed", "1",
+]
+
+
+def _run(tmp_path, extra=(), **cfg_overrides):
+    cfg = config_from_args(ARGS + ["--save_path", str(tmp_path)] + list(extra))
+    # keep eval cheap on the 1-core CPU host: 2 clips/video instead of 4/25
+    cfg = cfg.replace(eval_n_clips_active=2, eval_n_clips_full=2,
+                      **cfg_overrides)
+    exp = Experiment(cfg, build_datasets(cfg, None))
+    return exp.run()
+
+
+def test_cli_train_eval_checkpoint_resume(tmp_path):
+    summary = _run(tmp_path)
+    assert "loss" in summary and np.isfinite(summary["loss"])
+    assert 0 <= summary["synthetic_test_accuracy"] <= 100
+
+    ckpts = glob.glob(str(tmp_path / "**" / "checkpoint.npz"), recursive=True)
+    assert ckpts, "best checkpoint must be written"
+    run_dir = os.path.dirname(ckpts[0])
+    # observability surface: CSV appender + metrics.jsonl + stamp file
+    assert os.path.exists(os.path.join(run_dir, "synthetic_test_accuracy.csv"))
+    assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
+    assert glob.glob(os.path.join(run_dir, "train_samples_*_*.txt"))
+    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+        tags = {json.loads(l)["tag"] for l in f}
+    assert "synthetic_test/Accuracy" in tags
+
+    # full resume continues from the saved epoch
+    summary2 = _run(tmp_path, extra=["--resume", ckpts[0], "--n_epochs", "2"])
+    assert "best_accuracy" in summary2
+
+    # evaluation-only mode loads the checkpoint and skips training
+    summary3 = _run(tmp_path, extra=["--evaluate", "--weights", ckpts[0]])
+    assert "loss" not in summary3
+    assert 0 <= summary3["synthetic_test_accuracy"] <= 100

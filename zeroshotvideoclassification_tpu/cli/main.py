@@ -225,6 +225,13 @@ class Experiment:
         cfg = self.config
         trainsamples = (len(self.datasets["training"][0])
                         if self.datasets["training"] else 0)
+        if not cfg.evaluate and self.datasets["training"]:
+            # run-config stamp file (reference main.py:333-335)
+            n_classes = len(self.datasets["training"][0].classes)
+            stamp = os.path.join(
+                self.savename, f"train_samples_{n_classes}_{trainsamples}.txt")
+            with open(stamp, "w") as f:
+                f.write(f"{n_classes}, {trainsamples}\n")
         epoch_times = []
         summary = {}
         for epoch in range(self.start_epoch, cfg.n_epochs):

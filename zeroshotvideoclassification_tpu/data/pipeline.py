@@ -91,8 +91,12 @@ class HostPipeline:
         self.bs = batch_size
         self.seed = seed
         self.epoch = 0
+        from zeroshotvideoclassification_tpu.data.transform_params import (
+            short_side_for_crop,
+        )
+
         self.crop = config.size
-        self.short_side = 128 if config.size == 112 else 256
+        self.short_side = short_side_for_crop(config.size)
         self.canvas_hw = tuple(config.canvas_hw)
         import os as _os
         self.workers = workers if workers is not None else (
@@ -212,7 +216,7 @@ class HostPipeline:
                          wx=wx, z=z, label=label, weight=weight,
                          image_mode=True)
 
-    def __iter__(self) -> Iterator[HostBatch]:
+    def _batches(self) -> Iterator[HostBatch]:
         t = self.table
         n = len(t)
         self._rng = np.random.default_rng((self.seed, self.epoch))
@@ -238,6 +242,39 @@ class HostPipeline:
                     decoded.append(None)
                     labels.append(-1)
                 yield self._assemble(decoded, labels)
+
+    def __iter__(self) -> Iterator[HostBatch]:
+        """Background-thread prefetch (depth = Config.prefetch_depth):
+        decode/pack of batch k+1..k+depth overlaps the consumer's device
+        step on batch k — the DataLoader-prefetch analog without processes."""
+        depth = max(int(getattr(self.config, "prefetch_depth", 2)), 0)
+        if depth == 0:
+            yield from self._batches()
+            return
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        _END = object()
+
+        def producer():
+            try:
+                for b in self._batches():
+                    q.put(b)
+                q.put(_END)
+            except BaseException as e:  # surface errors on the consumer side
+                q.put(e)
+
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        th.join()
 
 
 def device_batch(host_batch: HostBatch, n_clips: int, clip_len: int,

@@ -22,6 +22,12 @@ from typing import Optional, Tuple
 import numpy as np
 
 
+def short_side_for_crop(crop_size: int) -> int:
+    """Resize target: 128 for the 112 crop, 256 for 224 (transforms.py:42);
+    generalized to smaller debug crops (anything <= 112 keeps 128)."""
+    return 128 if crop_size <= 112 else 256
+
+
 def resized_dims(h: int, w: int, short_side: int) -> Tuple[int, int, float]:
     """(H', W', scale) after torch F.interpolate(scale_factor=short/min(h,w)).
 
@@ -79,7 +85,7 @@ def make_transform_params(
     src_hw = np.asarray(src_hw, dtype=np.int32)
     b = src_hw.shape[0]
     if short_side is None:
-        short_side = 128 if crop_size == 112 else 256
+        short_side = short_side_for_crop(crop_size)
     if rng is None:
         rng = np.random.default_rng()
 
