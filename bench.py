@@ -21,7 +21,7 @@ import time
 V100_REFERENCE_CLIPS_PER_SEC_ESTIMATE = 120.0
 
 
-def run_bench(bs: int, clip_len: int, size: int, steps: int, warmup: int,
+def run_bench(bs: int, clip_len: int, size: int, steps: int,
               network: str, smoke: bool):
     """Time `steps` full training steps executed inside ONE jitted fori_loop.
 
@@ -88,7 +88,7 @@ def run_bench(bs: int, clip_len: int, size: int, steps: int, warmup: int,
         return jax.lax.fori_loop(0, steps, lambda i, t: one_step(t), ts)
 
     ts = multi(ts)
-    float(jax.device_get(ts.step))  # sync (compile + warm run)
+    float(jax.device_get(ts.step))  # warm-up: one full multi-step call (compile + run)
     t0 = time.perf_counter()
     ts = multi(ts)
     float(jax.device_get(ts.step))  # sync
@@ -103,16 +103,15 @@ def main():
     p.add_argument("--clip_len", type=int, default=16)
     p.add_argument("--size", type=int, default=112)
     p.add_argument("--steps", type=int, default=50)
-    p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--network", default="r2plus1d_18")
     p.add_argument("--smoke", action="store_true",
                    help="tiny CPU run (CI sanity, meaningless absolute numbers)")
     args = p.parse_args()
     if args.smoke:
-        args.bs, args.clip_len, args.size, args.steps, args.warmup = 2, 4, 32, 2, 1
+        args.bs, args.clip_len, args.size, args.steps = 2, 4, 32, 2
 
     value, step_time, n_chips = run_bench(
-        args.bs, args.clip_len, args.size, args.steps, args.warmup,
+        args.bs, args.clip_len, args.size, args.steps,
         args.network, args.smoke)
     print(json.dumps({
         "metric": f"train_clips_per_sec_per_chip_{args.network}_bs{args.bs}"

@@ -46,27 +46,52 @@ def test_train_starts_within_period(rng):
         np.testing.assert_array_equal(sel[c], np.arange(sel[c, 0], sel[c, 0] + clip_len))
 
 
+def _oracle_repeat_last(total, clip_len, n_clips, sel):
+    """Reference cv2-decode semantics re-derived (auxiliary_dataset.py:
+    184-206): one frame per UNIQUE selected count in decoder order;
+    out-of-range counts repeat the last decoded frame; loop-pad."""
+    frames = []
+    last = None
+    for count in range(int(sel[-1]) + clip_len):
+        if count not in set(sel.tolist()):
+            continue
+        if count < total:
+            last = count
+        frames.append(last)
+    frames = np.asarray(frames)
+    want = n_clips * clip_len
+    while frames.shape[0] < want:
+        frames = np.concatenate([frames, frames[: want - frames.shape[0]]])
+    return frames[:want]
+
+
 @pytest.mark.parametrize("total,clip_len,n_clips", [
     (300, 16, 1), (10, 16, 1), (1, 16, 1), (100, 16, 25), (47, 16, 4),
+    (40, 16, 4), (123, 16, 25),
 ])
-def test_repeat_last_fill_properties(total, clip_len, n_clips):
+def test_repeat_last_matches_reference_decode(total, clip_len, n_clips):
     idx = tsn_frame_indices(total, clip_len, n_clips, is_validation=True)
     assert idx.shape == (n_clips * clip_len,)
     assert idx.min() >= 0 and idx.max() < total
-    # repeat-last: indices never decrease within the pre-pad region except at
-    # loop-pad wrap points; check monotone within each raw snippet
     raw = tsn_selection(total, clip_len, n_clips, True)
-    n = min(len(raw), len(idx))
-    clamped = np.minimum.accumulate  # noqa: just for readability below
-    # every in-range selection must be passed through unchanged
-    in_range = raw[:n] < total
-    np.testing.assert_array_equal(idx[:n][in_range], raw[:n][in_range])
+    np.testing.assert_array_equal(
+        idx, _oracle_repeat_last(total, clip_len, n_clips, raw))
 
 
 def test_repeat_last_exact_semantics():
     # total=10 frames, clip_len=16 -> selection 0..15; frames >=10 repeat 9
     idx = tsn_frame_indices(10, 16, 1, is_validation=True)
     np.testing.assert_array_equal(idx, list(range(10)) + [9] * 6)
+
+
+def test_repeat_last_dedups_overlapping_snippets():
+    # total=40, cl=16, nc=4 (the active eval shape for short videos):
+    # windows [0..15],[10..25],[20..35],[30..45] OVERLAP; the reference
+    # decodes each unique count once -> frames = 0..39 then 6 repeats of 39,
+    # loop-padded with the head to 64
+    idx = tsn_frame_indices(40, 16, 4, is_validation=True)
+    expect = np.asarray(list(range(40)) + [39] * 6 + list(range(18)))
+    np.testing.assert_array_equal(idx, expect)
 
 
 def test_loop_pad_semantics():

@@ -115,15 +115,29 @@ def test_train_step_updates_bn_state(rng):
 
 
 def test_nonfinite_grads_skip_update(rng):
+    """GradScaler-skip parity: a NaN-grad step must leave params AND the
+    optimizer's inner state (Adam moments, count) completely untouched —
+    momentum must not move params on a skipped step."""
     model = _tiny_model()
     opt = make_optimizer(1e-2)
     ts = create_train_state(model, opt, jax.random.PRNGKey(0))
     step = make_train_step(model, opt, compute_dtype=F32, donate=False)
     x, z, labels, weight, class_embed = _batch(rng)
+    # build up nonzero Adam momentum first with a good step
+    ts, _ = step(ts, x, z, labels, weight, class_embed, jax.random.PRNGKey(0))
     x_bad = np.full_like(x, np.nan)
     p_before = jax.tree.map(np.asarray, ts.params)
-    ts2, m = step(ts, x_bad, z, labels, weight, class_embed, jax.random.PRNGKey(0))
+    inner_before = ts.opt_state.inner_state
+    ts2, m = step(ts, x_bad, z, labels, weight, class_embed, jax.random.PRNGKey(1))
     for a, b in zip(jax.tree.leaves(p_before), jax.tree.leaves(ts2.params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    # ApplyIfFiniteState.inner_state holds the wrapped Adam state; its
+    # moments/count must be untouched (only the notfinite bookkeeping moves)
+    adam_before = jax.tree.leaves(
+        jax.tree.map(np.asarray, inner_before.inner_state))
+    adam_after = jax.tree.leaves(
+        jax.tree.map(np.asarray, ts2.opt_state.inner_state.inner_state))
+    for a, b in zip(adam_before, adam_after):
         np.testing.assert_array_equal(a, np.asarray(b))
 
 

@@ -181,18 +181,11 @@ class Experiment:
         cfg = self.config
         pipe = HostPipeline(table, cfg, max(self.global_bs // max(table.n_clips, 1), 1),
                             seed=cfg.seed)
-        preds, trues, labels = [], [], []
-        params, mstate = self.state.params, self.state.model_state
-        for host in pipe:
-            batch = device_batch(host, table.n_clips, cfg.clip_len)
-            emb = np.asarray(self.eval_step(params, mstate, batch["x"]))
-            keep = np.asarray(host.weight) > 0
-            preds.append(emb[keep])
-            trues.append(host.z[keep])
-            labels.append(host.label[keep])
-        pred = np.concatenate(preds)
-        true_e = np.concatenate(trues)
-        true_l = np.concatenate(labels)
+        from zeroshotvideoclassification_tpu.eval import extract_embeddings
+
+        batches = (device_batch(h, table.n_clips, cfg.clip_len) for h in pipe)
+        pred, true_e, true_l = extract_embeddings(
+            self.eval_step, self.state.params, self.state.model_state, batches)
         acc, acc5 = compute_accuracy(pred, table.class_embed, true_e)
         self.log.scalar(f"{table.name}/Accuracy", acc, epoch)
         self.log.scalar(f"{table.name}/Accuracy_Top5", acc5, epoch)

@@ -246,7 +246,13 @@ class HostPipeline:
     def __iter__(self) -> Iterator[HostBatch]:
         """Background-thread prefetch (depth = Config.prefetch_depth):
         decode/pack of batch k+1..k+depth overlaps the consumer's device
-        step on batch k — the DataLoader-prefetch analog without processes."""
+        step on batch k — the DataLoader-prefetch analog without processes.
+
+        Early consumer exit (the trainer's 100k-sample epoch cap breaks out
+        of every Kinetics epoch, cli/main.py) must not leak the producer:
+        the finally block sets a stop flag and drains the queue so the
+        producer (whose q.put uses a timeout + stop check) exits and its
+        decode pool is torn down."""
         depth = max(int(getattr(self.config, "prefetch_depth", 2)), 0)
         if depth == 0:
             yield from self._batches()
@@ -255,26 +261,43 @@ class HostPipeline:
         import threading
 
         q: "queue.Queue" = queue.Queue(maxsize=depth)
+        stop = threading.Event()
         _END = object()
 
         def producer():
             try:
                 for b in self._batches():
-                    q.put(b)
+                    while not stop.is_set():
+                        try:
+                            q.put(b, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
                 q.put(_END)
             except BaseException as e:  # surface errors on the consumer side
-                q.put(e)
+                if not stop.is_set():
+                    q.put(e)
 
         th = threading.Thread(target=producer, daemon=True)
         th.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        th.join()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            while not q.empty():  # unblock a producer waiting on q.put
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            th.join(timeout=30)
 
 
 def device_batch(host_batch: HostBatch, n_clips: int, clip_len: int,

@@ -60,11 +60,18 @@ def tsn_frame_indices(
 ) -> np.ndarray:
     """Final flat [n_clips * clip_len] array of in-range source-frame indices.
 
-    fill='repeat_last': out-of-range selections repeat the last decoded frame
-      (the cv2 loaders' behavior, auxiliary_dataset.py:190-198), then the list
-      is loop-padded from the front to n_clips*clip_len (ibid. :205-206).
-    fill='drop': out-of-range selections are dropped before loop-padding (the
-      ActivityNet npy loader, auxiliary_activitynet.py:43-48).
+    fill='repeat_last': the cv2 loaders' sequential-decode semantics
+      (auxiliary_dataset.py:184-206). Crucially the reference appends ONE
+      frame per unique selected count (its `count not in selection` check
+      fires once per decoder position), so overlapping snippet windows —
+      which occur whenever total_frames < n_clips*clip_len, i.e. most videos
+      under 25-clip evaluation — are DEDUPLICATED AND SORTED before frames
+      are chunked into clips; out-of-range counts repeat the last decoded
+      frame (ibid. :190-198); the flat list is then loop-padded from the
+      front to n_clips*clip_len (ibid. :205-206).
+    fill='drop': out-of-range selections are dropped (duplicates and order
+      preserved — npy fancy indexing) before loop-padding (the ActivityNet
+      npy loader, auxiliary_activitynet.py:43-48).
     frame_cap: optional cap on total_frames (npy loader caps at 300, ibid. :34).
     """
     frame_count = total_frames
@@ -73,9 +80,10 @@ def tsn_frame_indices(
     sel = tsn_selection(total_frames, clip_len, n_clips, is_validation, rng)
 
     if fill == "repeat_last":
-        out = np.empty_like(sel)
-        last = 0  # guarded: total_frames >= 1 so frame 0 always exists
-        for i, s in enumerate(sel):
+        uniq = np.unique(sel)  # sorted unique counts, reference decode order
+        out = np.empty_like(uniq)
+        last = 0  # guarded: selection[0] < total_frames so frame 0 exists
+        for i, s in enumerate(uniq):
             if s < frame_count:
                 last = s
             out[i] = last

@@ -36,12 +36,15 @@ _CONVS = (  # name, cin, cout
 
 def _conv_init_with_bias(rng, cin: int, cout: int):
     """torch Conv3d default init: kaiming_uniform(a=sqrt(5)) weight,
-    U(+-1/sqrt(fan_in)) bias; fan_in = cin * 27."""
+    U(+-1/sqrt(fan_in)) bias; fan_in = cin * 27.
+
+    kaiming_uniform(a=sqrt(5)): gain = sqrt(2/(1+5)) = 1/sqrt(3) and
+    bound = gain * sqrt(3/fan_in) = 1/sqrt(fan_in) — the same bound as the
+    bias, with NO extra factor."""
     kw, kb = jax.random.split(rng)
     fan_in = cin * 27
     bound = 1.0 / math.sqrt(fan_in)
     w = jax.random.uniform(kw, (3, 3, 3, cin, cout), jnp.float32, -bound, bound)
-    w = w * math.sqrt(3.0)  # kaiming_uniform bound = sqrt(3)/sqrt(fan_in)
     b = jax.random.uniform(kb, (cout,), jnp.float32, -bound, bound)
     return {"w": w, "b": b}
 

@@ -10,8 +10,8 @@ Usage:
   python -m zeroshotvideoclassification_tpu.tools.prepare_word2vec \
       --bin assets/GoogleNews-vectors-negative300.bin \
       --out assets/word2vec_cache.npz
-Optionally restrict to the vocabulary actually needed by the supported
-datasets with --classes-only (writes a small cache from class-name tokens).
+Use --limit N to parse only the first N (most frequent) vocabulary entries
+when a smaller cache suffices.
 """
 
 from __future__ import annotations

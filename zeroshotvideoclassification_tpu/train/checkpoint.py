@@ -76,8 +76,13 @@ def save_checkpoint(
 
 
 def load_checkpoint(path: str, train_state) -> Tuple[Any, Dict]:
-    """Restore a full TrainState (structure from `train_state`). Strict for
-    params/opt_state/model_state shapes; returns (new_state, meta)."""
+    """Restore a full TrainState (structure from `train_state`).
+
+    STRICT: every leaf of params/model_state/opt_state must be present in the
+    checkpoint with a matching shape, otherwise ValueError — a checkpoint
+    from a different network/head silently scoring random weights is exactly
+    the failure mode this guards against. Use warm_start() for deliberate
+    partial loads."""
     data = np.load(path, allow_pickle=False)
     meta = json.loads(str(data["__meta__"]))
     sections = {"params": {}, "model_state": {}, "opt_state": {}}
@@ -88,6 +93,11 @@ def load_checkpoint(path: str, train_state) -> Tuple[Any, Dict]:
     new = {}
     for sec, flat in sections.items():
         tree, loaded, total = _unflatten_into(getattr(train_state, sec), flat)
+        if loaded != total:
+            raise ValueError(
+                f"checkpoint {path!r} does not match the current model: only "
+                f"{loaded}/{total} {sec} tensors restored (wrong --network/"
+                f"--head?). Use --weights for a partial warm start.")
         new[sec] = tree
     import dataclasses
 

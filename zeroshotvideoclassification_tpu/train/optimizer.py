@@ -34,26 +34,6 @@ def multistep_lr(base_lr: float, n_epochs: int) -> "callable":
     return lr_at
 
 
-def skip_nonfinite() -> optax.GradientTransformation:
-    """Zero the whole update when any gradient is non-finite — the TPU
-    equivalent of GradScaler's inf/NaN step skip (main.py:197-203)."""
-
-    def init(params):
-        del params
-        return optax.EmptyState()
-
-    def update(updates, state, params=None):
-        del params
-        leaves = jax.tree.leaves(updates)
-        ok = jnp.all(
-            jnp.stack([jnp.all(jnp.isfinite(g)) for g in leaves])
-        )
-        updates = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), updates)
-        return updates, state
-
-    return optax.GradientTransformation(init, update)
-
-
 def make_optimizer(lr: float = 1e-3) -> optax.GradientTransformation:
     """Adam with an injectable learning rate (the trainer sets it per epoch
     from multistep_lr, mirroring scheduler.step(), main.py:374)."""
@@ -61,9 +41,13 @@ def make_optimizer(lr: float = 1e-3) -> optax.GradientTransformation:
 
 
 def _adam_with_guard(learning_rate) -> optax.GradientTransformation:
-    return optax.chain(
-        skip_nonfinite(),
+    # apply_if_finite wraps the WHOLE optimizer: a non-finite gradient leaves
+    # params, Adam moments and the bias-correction count all untouched —
+    # exact GradScaler step-skip semantics (main.py:197-203). (Zeroing the
+    # gradient before adam would NOT skip: momentum still moves params.)
+    return optax.apply_if_finite(
         optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8),
+        max_consecutive_errors=1000,
     )
 
 
