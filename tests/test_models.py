@@ -259,3 +259,40 @@ def test_conv3d_1x1x1_downsample_matches_torch(rng):
     want = TF.conv3d(to_torch_x(x), to_torch_w(w), stride=(2, 2, 2), padding=0)
     np.testing.assert_allclose(
         np.asarray(got), want.permute(0, 2, 3, 4, 1).numpy(), atol=2e-5)
+
+
+def test_r2plus1d_block_matches_torch_functional(rng):
+    """One R(2+1)D BasicBlock with downsample (eval mode), our params pushed
+    through a torch functional chain: conv(1,3,3)->BN->relu->conv(3,1,1) ->
+    BN -> relu -> same again -> BN, + 1x1x1-downsampled residual, relu."""
+    from zeroshotvideoclassification_tpu.models.resnet3d import (
+        _block_apply, _block_init)
+
+    params, state = jax.jit(
+        lambda k: _block_init(k, "2plus1d", 64, 128, 2))(jax.random.PRNGKey(3))
+    x = rng.normal(size=(1, 4, 14, 14, 64)).astype(np.float32) * 0.5
+    got, _ = _block_apply("2plus1d", params, state, jnp.asarray(x), 2, False, F32)
+
+    def t_bn(h, p, s):
+        return TF.batch_norm(
+            h, torch.tensor(np.asarray(s["mean"])),
+            torch.tensor(np.asarray(s["var"])),
+            torch.tensor(np.asarray(p["scale"])),
+            torch.tensor(np.asarray(p["bias"])), training=False)
+
+    def t_conv2plus1(h, cp, cs, stride):
+        h = TF.conv3d(h, to_torch_w(cp["conv_s"]["w"]),
+                      stride=(1, stride, stride), padding=(0, 1, 1))
+        h = TF.relu(t_bn(h, cp["bn_m"], cs["bn_m"]))
+        return TF.conv3d(h, to_torch_w(cp["conv_t"]["w"]),
+                         stride=(stride, 1, 1), padding=(1, 0, 0))
+
+    h = to_torch_x(x)
+    out = t_conv2plus1(h, params["conv1"], state["conv1"], 2)
+    out = TF.relu(t_bn(out, params["bn1"], state["bn1"]))
+    out = t_conv2plus1(out, params["conv2"], state["conv2"], 1)
+    out = t_bn(out, params["bn2"], state["bn2"])
+    res = TF.conv3d(h, to_torch_w(params["downsample"]["conv"]["w"]), stride=2)
+    res = t_bn(res, params["downsample"]["bn"], state["downsample"]["bn"])
+    want = TF.relu(out + res).permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-5)
