@@ -257,3 +257,35 @@ def test_eval_step_runs(rng):
     assert emb.shape == (4, 300)
     np.testing.assert_allclose(
         np.asarray(jnp.linalg.norm(emb, axis=-1)), 1.0, atol=1e-5)
+
+
+def test_scan_train_step_matches_sequential(rng):
+    from zeroshotvideoclassification_tpu.train import make_scan_train_step
+
+    model = _tiny_model()
+    opt = make_optimizer(1e-2)
+    k, b = 3, 8
+    batches = [_batch(np.random.default_rng(i), b=b) for i in range(k)]
+    class_embed = batches[0][4]
+
+    ts_a = create_train_state(model, opt, jax.random.PRNGKey(0))
+    step = make_train_step(model, opt, compute_dtype=F32, donate=False)
+    seq_losses = []
+    for x, z, labels, weight, _ in batches:
+        ts_a, m = step(ts_a, x, z, labels, weight, class_embed,
+                       jax.random.PRNGKey(9))
+        seq_losses.append(float(m["loss"]))
+
+    ts_b = create_train_state(model, opt, jax.random.PRNGKey(0))
+    scan_step = make_scan_train_step(model, opt, compute_dtype=F32, donate=False)
+    xs = np.stack([bt[0] for bt in batches])
+    zs = np.stack([bt[1] for bt in batches])
+    ls = np.stack([bt[2] for bt in batches])
+    ws = np.stack([bt[3] for bt in batches])
+    ts_b, metrics = scan_step(ts_b, xs, zs, ls, ws, class_embed,
+                              jax.random.PRNGKey(9))
+    np.testing.assert_allclose(
+        np.asarray(metrics["loss"]), np.asarray(seq_losses), rtol=1e-5)
+    assert int(ts_b.step) == k
+    for a, bb in zip(jax.tree.leaves(ts_a.params), jax.tree.leaves(ts_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=2e-5)

@@ -115,6 +115,14 @@ class Experiment:
         self.state = jax.device_put(self.state, replicated(self.mesh))
         self.train_step = make_train_step(
             self.model, self.optimizer, compute_dtype=self.dtype)
+        self.scan_train_step = None
+        if config.steps_per_call > 1:
+            from zeroshotvideoclassification_tpu.train import (
+                make_scan_train_step,
+            )
+
+            self.scan_train_step = make_scan_train_step(
+                self.model, self.optimizer, compute_dtype=self.dtype)
         self.eval_step = make_eval_step(self.model, compute_dtype=self.dtype)
         os.makedirs(self.savename, exist_ok=True)
         self.log = MetricsLogger(self.savename)
@@ -142,6 +150,38 @@ class Experiment:
             except ImportError:
                 pass
         i = 0
+        spc = max(cfg.steps_per_call, 1)
+        pending = []  # device batches awaiting a fused scan dispatch
+
+        def flush_pending():
+            nonlocal rng
+            if not pending:
+                return
+            if len(pending) == 1 or self.scan_train_step is None:
+                for b in pending:
+                    nonlocal_rng_step(b)
+            else:
+                stacked = {
+                    k: jnp.stack([b[k] for b in pending])
+                    for k in ("x", "z", "label", "weight")
+                }
+                rng, step_rng = jax.random.split(rng)
+                self.state, metrics = self.scan_train_step(
+                    self.state, stacked["x"], stacked["z"], stacked["label"],
+                    stacked["weight"], class_embed, step_rng)
+                losses.extend(list(metrics["loss"]))
+                accs.extend(list(metrics["train_accuracy"]))
+            pending.clear()
+
+        def nonlocal_rng_step(batch):
+            nonlocal rng
+            rng, step_rng = jax.random.split(rng)
+            self.state, metrics = self.train_step(
+                self.state, batch["x"], batch["z"], batch["label"],
+                batch["weight"], class_embed, step_rng)
+            losses.append(metrics["loss"])
+            accs.append(metrics["train_accuracy"])
+
         while True:
             with batch_t:
                 host = next(it, None)
@@ -150,19 +190,21 @@ class Experiment:
             with model_t:
                 batch = device_batch(host, table.n_clips, cfg.clip_len)
                 sharded = shard_batch(self.mesh, batch)
-                rng, step_rng = jax.random.split(rng)
-                self.state, metrics = self.train_step(
-                    self.state, sharded["x"], sharded["z"], sharded["label"],
-                    sharded["weight"], class_embed, step_rng)
-            losses.append(metrics["loss"])
-            accs.append(metrics["train_accuracy"])
-            if (i + 1) % cfg.log_every == 0:
+                if spc > 1 and self.scan_train_step is not None:
+                    pending.append(sharded)
+                    if len(pending) == spc:
+                        flush_pending()
+                else:
+                    nonlocal_rng_step(sharded)
+            if len(losses) > i and (i + 1) % cfg.log_every == 0:
                 step = int(jax.device_get(self.state.step))
                 self.log.scalar("Train/Loss", float(losses[-1]), step)
                 self.log.scalar("Train/RegressorAccuracy", float(accs[-1]), step)
             i += 1
             if i * self.global_bs > cfg.epoch_sample_cap:  # main.py:208
                 break
+        with model_t:
+            flush_pending()
         loss = float(np.mean([float(l) for l in losses])) if losses else 0.0
         acc = float(np.mean([float(a) for a in accs])) if accs else 0.0
         clips = i * self.global_bs * table.n_clips

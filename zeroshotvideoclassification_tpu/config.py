@@ -58,6 +58,8 @@ class Config:
     word2vec_path: str = "./assets/GoogleNews-vectors-negative300.bin"
     word2vec_cache: str = "./assets/word2vec_cache.npz"
     prefetch_depth: int = 2           # host->device pipeline depth
+    steps_per_call: int = 1           # train steps fused into one dispatch
+                                      # (lax.scan over stacked batches)
     decode_workers: int = 0           # 0 = os.cpu_count()
     canvas_hw: Tuple[int, int] = (256, 342)  # host uint8 canvas (static shape)
     epoch_sample_cap: int = 100_000   # reference caps train epoch (main.py:208)
@@ -149,6 +151,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_root", default=d.data_root, type=str)
     p.add_argument("--word2vec_path", default=d.word2vec_path, type=str)
     p.add_argument("--decode_workers", default=d.decode_workers, type=int)
+    p.add_argument("--steps_per_call", default=d.steps_per_call, type=int)
     return p
 
 

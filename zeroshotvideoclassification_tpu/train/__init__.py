@@ -7,6 +7,7 @@ from zeroshotvideoclassification_tpu.train.optimizer import (
 from zeroshotvideoclassification_tpu.train.step import (
     TrainState,
     make_train_step,
+    make_scan_train_step,
     make_eval_step,
     create_train_state,
 )

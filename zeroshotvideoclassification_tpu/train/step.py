@@ -89,6 +89,47 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_scan_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    compute_dtype=jnp.bfloat16,
+    donate: bool = True,
+) -> Callable:
+    """Multi-step-per-dispatch variant: one jitted call scans over K stacked
+    batches. Amortizes dispatch/launch overhead K-fold (large on relayed or
+    congested hosts; bench.py measures this regime) at the cost of K batches
+    of host-side lookahead. Shapes: x [K, B, nc, T, H, W, 3], z [K, B, 300],
+    labels [K, B], weight [K, B]. Returns (ts, metrics-of-arrays [K])."""
+
+    def step(ts: TrainState, xs, zs, labels, weights, class_embed, rng):
+        def body(carry, batch):
+            ts, rng = carry
+            x, z, lab, w = batch
+            rng, sub = jax.random.split(rng)
+
+            def loss_fn(params):
+                emb, new_state = model.apply(
+                    params, ts.model_state, x, train=True, rng=sub,
+                    compute_dtype=compute_dtype)
+                return masked_mse(emb, z, w), (new_state, emb)
+
+            (loss, (new_state, emb)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(ts.params)
+            updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
+            params = optax.apply_updates(ts.params, updates)
+            pred = nearest_class(emb, class_embed)
+            correct = (pred == lab).astype(jnp.float32) * w
+            acc = jnp.sum(correct) / jnp.maximum(jnp.sum(w), 1.0) * 100.0
+            new_ts = TrainState(params, new_state, opt_state, ts.step + 1)
+            return (new_ts, rng), {"loss": loss, "train_accuracy": acc}
+
+        (ts, _), metrics = jax.lax.scan(
+            body, (ts, rng), (xs, zs, labels, weights))
+        return ts, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
 def make_eval_step(model, compute_dtype=jnp.bfloat16) -> Callable:
     """Returns eval_step(params, model_state, x) -> embeddings [B, 300].
 
