@@ -131,3 +131,59 @@ def test_clean_kinetics_scrub(tmp_path):
     labels = np.asarray(["a", "b"])
     f, l = clean_kinetics(fnames, labels, str(blist))
     assert list(f) == ["/data/k700/frames/good_video"]
+
+
+def test_activitynet_catalog_and_npy_pipeline(tmp_path, rng):
+    """kinetics2others' extra leg: ActivityNet pre-cut npy clips through the
+    catalog + decode + device transform."""
+    import numpy as np
+
+    from zeroshotvideoclassification_tpu.data.datasets import (
+        VideoTable,
+        get_activitynet,
+    )
+
+    clips = tmp_path / "ActivityNet" / "v1.3" / "clips"
+    clips.mkdir(parents=True)
+    rows = []
+    for i, label in enumerate(["Surfing", "Archery", "Surfing"]):
+        frames = rng.integers(0, 256, size=(40 + 10 * i, 128, 171, 3),
+                              dtype=np.uint8)
+        np.save(clips / f"vid{i}_0.npy", frames)
+        rows.append(f"vid{i}_0,{label}")
+    (clips / "annotations_all.csv").write_text("\n".join(rows) + "\n")
+
+    fnames, labels, classes = get_activitynet(str(tmp_path))
+    assert len(fnames) == 3 and list(classes) == ["Archery", "Surfing"]
+
+    emb = rng.normal(size=(2, 300)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    table = VideoTable(
+        name="ActivityNet", fnames=fnames,
+        label_idx=np.asarray([1, 0, 1], np.int32), classes=list(classes),
+        class_embed=emb, loader="npy", is_validation=True, n_clips=2)
+    cfg = _cfg()
+    batches = list(HostPipeline(table, cfg, 2, seed=0))
+    assert batches[0].weight.sum() == 2
+    batch = device_batch(batches[0], 2, cfg.clip_len)
+    assert batch["x"].shape == (2, 2, cfg.clip_len, 112, 112, 3)
+    x = np.asarray(batch["x"])
+    assert np.isfinite(x).all() and x.min() >= -0.5 - 1e-6
+
+
+def test_broken_npy_gets_zero_weight(tmp_path, rng):
+    import numpy as np
+
+    from zeroshotvideoclassification_tpu.data.datasets import VideoTable
+
+    good = tmp_path / "ok.npy"
+    np.save(good, rng.integers(0, 256, size=(30, 128, 171, 3), dtype=np.uint8))
+    emb = np.eye(1, 300, dtype=np.float32)
+    table = VideoTable(
+        name="an", fnames=np.asarray([str(good), str(tmp_path / "missing.npy")],
+                                     object),
+        label_idx=np.asarray([0, 0], np.int32), classes=["a"],
+        class_embed=emb, loader="npy", is_validation=True, n_clips=1)
+    hb = next(iter(HostPipeline(table, _cfg(), 2, seed=0)))
+    np.testing.assert_array_equal(hb.weight, [1.0, 0.0])
+    np.testing.assert_array_equal(hb.label, [0, -1])
