@@ -145,8 +145,14 @@ def batchnorm_apply(
     xf = x.astype(jnp.float32)
     axes = tuple(range(x.ndim - 1))
     if train:
+        # One-pass statistics: E[x] and E[x^2] are independent reductions, so
+        # XLA fuses them into a SINGLE read of the activation. The two-pass
+        # centered form (mean first, then E[(x-mean)^2]) costs a second full
+        # HBM pass per BN — profiled at ~half the whole train step's time on
+        # this conv-light/BN-heavy net (convert_reduce fusions, see ROADMAP).
         mean = jnp.mean(xf, axis=axes)
-        var = jnp.mean(jnp.square(xf - mean), axis=axes)
+        mean_sq = jnp.mean(jnp.square(xf), axis=axes)
+        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
         count = float(np.prod([x.shape[a] for a in axes]))
         unbiased = var * (count / max(count - 1.0, 1.0))
         new_state = {
