@@ -187,3 +187,78 @@ def test_broken_npy_gets_zero_weight(tmp_path, rng):
     hb = next(iter(HostPipeline(table, _cfg(), 2, seed=0)))
     np.testing.assert_array_equal(hb.weight, [1.0, 0.0])
     np.testing.assert_array_equal(hb.label, [0, -1])
+
+
+def test_kinetics2oboth_route_with_fixtures(tmp_path):
+    """Full dataset composition: catalogs + class embeddings + overlap filter
+    wiring, using synthetic word vectors and an on-disk fixture tree."""
+    import json as _json
+
+    from zeroshotvideoclassification_tpu.text import SyntheticWordVectors
+
+    root = tmp_path
+    ucf = root / "UCF101" / "frames"
+    for name in ["v_Basketball_g01_c01", "v_Diving_g01_c01"]:
+        (ucf / name / "images").mkdir(parents=True)
+    hm = root / "HMDB51"
+    (hm / "frames" / "vidA").mkdir(parents=True)
+    (hm / "hmdb51_classes.txt").write_text("climb 0\n")
+    (hm / "hmdb51.json").write_text(_json.dumps(
+        {"database": {"vidA": {"annotations": 0}}}))
+    kin = root / "Kinetics" / "Kinetics-700"
+    (kin / "annotations").mkdir(parents=True)
+    meta = {}
+    for i, label in enumerate(
+            ["archery", "playing basketball", "archery", "baking cookies"]):
+        vid = f"vid{i:03d}"
+        (kin / "frames" / vid / "images").mkdir(parents=True)
+        meta[vid] = label
+    (kin / "annotations" / "meta.json").write_text(_json.dumps(meta))
+
+    cfg = Config(dataset="kinetics2oboth", data_root=str(root),
+                 class_overlap=0.04)
+    ds = build_datasets(cfg, SyntheticWordVectors())
+    train = ds["training"][0]
+    tests = ds["testing"]
+    assert [t.name for t in tests] == ["ucf101", "hmdb51"]
+    assert tests[0].classes == ["Basketball", "Diving"]
+    # 'playing basketball' maps to [play, basketball]; UCF 'Basketball' maps
+    # to [basketball] -> NOT identical tokens, so with synthetic vectors the
+    # cosine distance is large and all 3 kinetics classes survive tau=0.04
+    assert len(train.classes) == 3
+    assert train.class_embed.shape == (3, 300)
+    assert len(train) == 4
+    # label indices consistent with sorted class order
+    assert train.classes == sorted(train.classes)
+    assert train.label_idx.max() == len(train.classes) - 1
+
+
+def test_overlap_filter_drops_identical_class(tmp_path):
+    """A kinetics class whose tokens exactly match a test class must be
+    dropped by the tau filter (distance 0)."""
+    import json as _json
+
+    from zeroshotvideoclassification_tpu.text import SyntheticWordVectors
+
+    root = tmp_path
+    ucf = root / "UCF101" / "frames"
+    (ucf / "v_Diving_g01_c01" / "images").mkdir(parents=True)
+    hm = root / "HMDB51"
+    (hm / "frames" / "vidA").mkdir(parents=True)
+    (hm / "hmdb51_classes.txt").write_text("climb 0\n")
+    (hm / "hmdb51.json").write_text(_json.dumps(
+        {"database": {"vidA": {"annotations": 0}}}))
+    kin = root / "Kinetics" / "Kinetics-700"
+    (kin / "annotations").mkdir(parents=True)
+    meta = {}
+    # 'diving' lemmatizes to ['dive'] == UCF 'Diving' -> ['dive']: collision
+    for i, label in enumerate(["diving", "archery"]):
+        vid = f"vid{i:03d}"
+        (kin / "frames" / vid / "images").mkdir(parents=True)
+        meta[vid] = label
+    (kin / "annotations" / "meta.json").write_text(_json.dumps(meta))
+
+    cfg = Config(dataset="kinetics2oboth", data_root=str(root),
+                 class_overlap=0.04)
+    ds = build_datasets(cfg, SyntheticWordVectors())
+    assert ds["training"][0].classes == ["archery"]

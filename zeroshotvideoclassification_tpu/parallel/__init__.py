@@ -17,3 +17,8 @@ from zeroshotvideoclassification_tpu.parallel.mesh import (
     param_shardings,
     shard_batch,
 )
+from zeroshotvideoclassification_tpu.parallel.multihost import (
+    maybe_initialize,
+    process_shard,
+    global_batch,
+)
