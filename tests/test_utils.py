@@ -1,0 +1,74 @@
+"""Utils coverage: config naming parity, GIF inverse, metrics logger."""
+
+import json
+import os
+
+import numpy as np
+
+from zeroshotvideoclassification_tpu.config import Config, config_from_args
+from zeroshotvideoclassification_tpu.utils.gif import batch2gif, inverse_transform
+from zeroshotvideoclassification_tpu.utils.logging import MetricsLogger, Timer
+
+
+def test_savename_parity():
+    cfg = Config(dataset="kinetics2oboth", clip_len=16, lr=1e-3,
+                 network="r2plus1d_18", bs=22, class_overlap=0.04)
+    name = cfg.savename(n_devices=1)
+    # reference format: CLIP%d_LR%f_%s_BS%d + _CLASSOVERLAP%.2f (main.py:75-80)
+    assert name.endswith(
+        "kinetics2oboth/CLIP16_LR0.001000_r2plus1d_18_BS22_CLASSOVERLAP0.04")
+    cfg2 = cfg.replace(fixconvs=True, nopretrained=True, class_total=60,
+                       train_samples=500)
+    n2 = cfg2.savename(2)  # global bs doubles with 2 data shards
+    assert "_BS44_" in n2 and n2.endswith(
+        "_CLASSOVERLAP0.04_NCLASS60_NTRAIN500_FixedConvs_NotPretrained")
+    cfg3 = cfg.replace(split=3)
+    assert cfg3.savename(1).endswith("split3")
+
+
+def test_config_json_roundtrip():
+    cfg = Config(network="c3d", bs=7, canvas_hw=(128, 160))
+    cfg2 = Config.from_json(cfg.to_json())
+    assert cfg2 == cfg
+
+
+def test_config_from_args_parity_flags():
+    cfg = config_from_args([
+        "--dataset", "kinetics2others", "--network", "c3d", "--fixconvs",
+        "--nopretrained", "--clip_len", "8", "--class_overlap", "0.1"])
+    assert cfg.dataset == "kinetics2others" and cfg.network == "c3d"
+    assert cfg.fixconvs and cfg.nopretrained
+    assert cfg.clip_len == 8 and cfg.class_overlap == 0.1
+
+
+def test_inverse_transform_roundtrip(rng):
+    frames_u8 = rng.integers(0, 256, size=(4, 8, 8, 3), dtype=np.uint8)
+    normed = ((frames_u8.astype(np.float32) / 255.0) - 1.0) / 2.0
+    back = inverse_transform(normed, mode="active")
+    np.testing.assert_array_equal(back, frames_u8)
+
+
+def test_batch2gif_writes_file(tmp_path, rng):
+    frames = rng.uniform(-0.5, 0, size=(4, 16, 16, 3)).astype(np.float32)
+    path = batch2gif(frames, 1, str(tmp_path) + "/sample_", classes=["a", "b/c"])
+    assert os.path.exists(path) and path.endswith("b_c.gif")
+
+
+def test_metrics_logger(tmp_path):
+    log = MetricsLogger(str(tmp_path), use_tensorboard=False)
+    log.scalar("Train/Loss", 0.5, 1)
+    log.scalars({"a": 1.0, "b": 2}, 2, prefix="x/")
+    log.csv_append("foo_accuracy.csv", "0, 1.0,2.0")
+    log.close()
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert {l["tag"] for l in lines} == {"Train/Loss", "x/a", "x/b"}
+    assert open(tmp_path / "foo_accuracy.csv").read() == "0, 1.0,2.0\n"
+
+
+def test_timer_accumulates():
+    t = Timer()
+    with t:
+        pass
+    with t:
+        pass
+    assert t.total >= 0

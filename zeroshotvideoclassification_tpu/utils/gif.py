@@ -28,7 +28,7 @@ def inverse_transform(frames: np.ndarray, mode: str = "active") -> np.ndarray:
         out = (frames * KINETICS_STD + KINETICS_MEAN) * 255.0
     else:
         raise ValueError(mode)
-    return np.clip(out, 0, 255).astype(np.uint8)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
 def batch2gif(frames: np.ndarray, label: int, savepath: str,
