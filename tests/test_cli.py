@@ -51,3 +51,9 @@ def test_cli_train_eval_checkpoint_resume(tmp_path):
     summary3 = _run(tmp_path, extra=["--evaluate", "--weights", ckpts[0]])
     assert "loss" not in summary3
     assert 0 <= summary3["synthetic_test_accuracy"] <= 100
+
+    # fused multi-step dispatch: same run with --steps_per_call 2 exercises
+    # the pending/flush/stack trainer path (incl. the odd-tail single-step
+    # drain: 2 batches/epoch -> one scan group of 2 after the cap check)
+    summary4 = _run(tmp_path, extra=["--steps_per_call", "2"])
+    assert np.isfinite(summary4["loss"])

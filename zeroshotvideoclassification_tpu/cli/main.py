@@ -94,7 +94,11 @@ class Experiment:
                     and config.weights != "none"
                     else os.path.join(base, "checkpoint.npz"))
             if os.path.exists(ckpt):
-                self.state, meta = load_checkpoint(ckpt, self.state)
+                # eval only needs weights + BN stats; tolerate optimizer-state
+                # layout drift across framework versions
+                self.state, meta = load_checkpoint(
+                    ckpt, self.state,
+                    strict_sections=("params", "model_state"))
                 print(f"LOADED CHECKPOINT: {ckpt} "
                       f"(epoch {meta.get('epoch')}, acc {meta.get('accuracy')})")
             else:
@@ -152,14 +156,27 @@ class Experiment:
         i = 0
         spc = max(cfg.steps_per_call, 1)
         pending = []  # device batches awaiting a fused scan dispatch
+        last_logged = 0
+
+        def single_step(batch):
+            nonlocal rng
+            rng, step_rng = jax.random.split(rng)
+            self.state, metrics = self.train_step(
+                self.state, batch["x"], batch["z"], batch["label"],
+                batch["weight"], class_embed, step_rng)
+            losses.append(metrics["loss"])
+            accs.append(metrics["train_accuracy"])
 
         def flush_pending():
             nonlocal rng
             if not pending:
                 return
-            if len(pending) == 1 or self.scan_train_step is None:
+            if len(pending) < spc or self.scan_train_step is None:
+                # partial tail group: drain through the already-compiled
+                # single-step path (a scan of a different length would force
+                # a whole extra XLA compile)
                 for b in pending:
-                    nonlocal_rng_step(b)
+                    single_step(b)
             else:
                 stacked = {
                     k: jnp.stack([b[k] for b in pending])
@@ -173,14 +190,15 @@ class Experiment:
                 accs.extend(list(metrics["train_accuracy"]))
             pending.clear()
 
-        def nonlocal_rng_step(batch):
-            nonlocal rng
-            rng, step_rng = jax.random.split(rng)
-            self.state, metrics = self.train_step(
-                self.state, batch["x"], batch["z"], batch["label"],
-                batch["weight"], class_embed, step_rng)
-            losses.append(metrics["loss"])
-            accs.append(metrics["train_accuracy"])
+        def maybe_log():
+            # count-based, so fused multi-step dispatch keeps the same
+            # log cadence as single-step
+            nonlocal last_logged
+            if len(losses) - last_logged >= cfg.log_every:
+                step = int(jax.device_get(self.state.step))
+                self.log.scalar("Train/Loss", float(losses[-1]), step)
+                self.log.scalar("Train/RegressorAccuracy", float(accs[-1]), step)
+                last_logged = len(losses)
 
         while True:
             with batch_t:
@@ -195,16 +213,14 @@ class Experiment:
                     if len(pending) == spc:
                         flush_pending()
                 else:
-                    nonlocal_rng_step(sharded)
-            if len(losses) > i and (i + 1) % cfg.log_every == 0:
-                step = int(jax.device_get(self.state.step))
-                self.log.scalar("Train/Loss", float(losses[-1]), step)
-                self.log.scalar("Train/RegressorAccuracy", float(accs[-1]), step)
+                    single_step(sharded)
+            maybe_log()
             i += 1
             if i * self.global_bs > cfg.epoch_sample_cap:  # main.py:208
                 break
         with model_t:
             flush_pending()
+        maybe_log()
         loss = float(np.mean([float(l) for l in losses])) if losses else 0.0
         acc = float(np.mean([float(a) for a in accs])) if accs else 0.0
         clips = i * self.global_bs * table.n_clips
@@ -225,7 +241,16 @@ class Experiment:
                             seed=cfg.seed)
         from zeroshotvideoclassification_tpu.eval import extract_embeddings
 
-        batches = (device_batch(h, table.n_clips, cfg.clip_len) for h in pipe)
+        source = pipe
+        if cfg.progressbar:
+            try:
+                from tqdm import tqdm
+
+                source = tqdm(pipe, total=len(pipe),
+                              desc="Extracting features...")
+            except ImportError:
+                pass
+        batches = (device_batch(h, table.n_clips, cfg.clip_len) for h in source)
         pred, true_e, true_l = extract_embeddings(
             self.eval_step, self.state.params, self.state.model_state, batches)
         acc, acc5 = compute_accuracy(pred, table.class_embed, true_e)

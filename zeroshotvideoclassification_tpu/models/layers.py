@@ -145,14 +145,20 @@ def batchnorm_apply(
     xf = x.astype(jnp.float32)
     axes = tuple(range(x.ndim - 1))
     if train:
-        # One-pass statistics: E[x] and E[x^2] are independent reductions, so
+        # One-pass statistics: E[s] and E[s^2] are independent reductions, so
         # XLA fuses them into a SINGLE read of the activation. The two-pass
         # centered form (mean first, then E[(x-mean)^2]) costs a second full
         # HBM pass per BN — profiled at ~half the whole train step's time on
         # this conv-light/BN-heavy net (convert_reduce fusions, see ROADMAP).
-        mean = jnp.mean(xf, axis=axes)
-        mean_sq = jnp.mean(jnp.square(xf), axis=axes)
-        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+        # Shifting by the RUNNING mean first (s = x - m0, fuses into the same
+        # read) removes the E[x^2]-E[x]^2 catastrophic-cancellation risk for
+        # large-DC-offset activations: the residual mean E[s] is near zero
+        # once running stats warm up, so the subtraction loses no precision.
+        m0 = state["mean"]
+        s_mean = jnp.mean(xf - m0, axis=axes)
+        s_sq = jnp.mean(jnp.square(xf - m0), axis=axes)
+        mean = s_mean + m0
+        var = jnp.maximum(s_sq - jnp.square(s_mean), 0.0)
         count = float(np.prod([x.shape[a] for a in axes]))
         unbiased = var * (count / max(count - 1.0, 1.0))
         new_state = {

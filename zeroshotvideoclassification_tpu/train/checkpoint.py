@@ -75,14 +75,20 @@ def save_checkpoint(
             os.unlink(tmp)
 
 
-def load_checkpoint(path: str, train_state) -> Tuple[Any, Dict]:
+def load_checkpoint(
+    path: str,
+    train_state,
+    strict_sections: Tuple[str, ...] = ("params", "model_state", "opt_state"),
+) -> Tuple[Any, Dict]:
     """Restore a full TrainState (structure from `train_state`).
 
-    STRICT: every leaf of params/model_state/opt_state must be present in the
+    STRICT for `strict_sections`: every leaf must be present in the
     checkpoint with a matching shape, otherwise ValueError — a checkpoint
     from a different network/head silently scoring random weights is exactly
-    the failure mode this guards against. Use warm_start() for deliberate
-    partial loads."""
+    the failure mode this guards against. Evaluation-only restores pass
+    strict_sections=("params", "model_state") so optimizer-layout changes
+    across framework versions don't block scoring old checkpoints. Use
+    warm_start() for deliberately partial weight loads."""
     data = np.load(path, allow_pickle=False)
     meta = json.loads(str(data["__meta__"]))
     sections = {"params": {}, "model_state": {}, "opt_state": {}}
@@ -93,7 +99,7 @@ def load_checkpoint(path: str, train_state) -> Tuple[Any, Dict]:
     new = {}
     for sec, flat in sections.items():
         tree, loaded, total = _unflatten_into(getattr(train_state, sec), flat)
-        if loaded != total:
+        if loaded != total and sec in strict_sections:
             raise ValueError(
                 f"checkpoint {path!r} does not match the current model: only "
                 f"{loaded}/{total} {sec} tensors restored (wrong --network/"

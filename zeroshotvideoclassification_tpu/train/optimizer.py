@@ -45,9 +45,12 @@ def _adam_with_guard(learning_rate) -> optax.GradientTransformation:
     # params, Adam moments and the bias-correction count all untouched —
     # exact GradScaler step-skip semantics (main.py:197-203). (Zeroing the
     # gradient before adam would NOT skip: momentum still moves params.)
+    # max_consecutive_errors is effectively infinite: apply_if_finite would
+    # otherwise APPLY the NaN update once the count is exceeded, poisoning
+    # params — GradScaler never does that.
     return optax.apply_if_finite(
         optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8),
-        max_consecutive_errors=1000,
+        max_consecutive_errors=10**8,
     )
 
 
