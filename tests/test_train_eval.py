@@ -289,3 +289,30 @@ def test_scan_train_step_matches_sequential(rng):
     assert int(ts_b.step) == k
     for a, bb in zip(jax.tree.leaves(ts_a.params), jax.tree.leaves(ts_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=2e-5)
+
+
+def test_evaluate_dataset_end_to_end(rng):
+    from zeroshotvideoclassification_tpu.eval import evaluate_dataset
+
+    model = _tiny_model()
+    params, state = model.init(jax.random.PRNGKey(0))
+    es = make_eval_step(model, compute_dtype=F32)
+    ce = rng.normal(size=(6, 300)).astype(np.float32)
+    ce /= np.linalg.norm(ce, axis=1, keepdims=True)
+
+    def batches():
+        for _ in range(3):
+            labels = rng.integers(0, 6, size=4).astype(np.int32)
+            w = np.ones(4, np.float32)
+            w[-1] = 0.0  # one padding sample per batch
+            yield {
+                "x": jnp.asarray(rng.normal(size=(4, 1, 2, 4, 4, 3))
+                                 .astype(np.float32)),
+                "z": ce[labels], "label": labels, "weight": w,
+            }
+
+    out = evaluate_dataset(es, params, state, batches(), ce, split=-1,
+                           name="tiny")
+    assert out["name"] == "tiny" and out["n_samples"] == 9
+    assert 0 <= out["accuracy"] <= 100
+    assert "accuracy_split_mean" in out
