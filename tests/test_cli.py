@@ -54,6 +54,8 @@ def test_cli_train_eval_checkpoint_resume(tmp_path):
 
     # fused multi-step dispatch: same run with --steps_per_call 2 exercises
     # the pending/flush/stack trainer path (incl. the odd-tail single-step
-    # drain: 2 batches/epoch -> one scan group of 2 after the cap check)
-    summary4 = _run(tmp_path, extra=["--steps_per_call", "2"])
+    # drain: 2 batches/epoch -> one scan group of 2 after the cap check);
+    # --save_samples additionally dumps a debug GIF of the first clip
+    summary4 = _run(tmp_path, extra=["--steps_per_call", "2", "--save_samples"])
     assert np.isfinite(summary4["loss"])
+    assert glob.glob(str(tmp_path / "**" / "samples" / "*.gif"), recursive=True)

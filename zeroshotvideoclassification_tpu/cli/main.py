@@ -200,6 +200,7 @@ class Experiment:
                 self.log.scalar("Train/RegressorAccuracy", float(accs[-1]), step)
                 last_logged = len(losses)
 
+        sample_saved = not cfg.save_samples
         while True:
             with batch_t:
                 host = next(it, None)
@@ -207,6 +208,19 @@ class Experiment:
                 break
             with model_t:
                 batch = device_batch(host, table.n_clips, cfg.clip_len)
+                if not sample_saved:
+                    # debug GIF of the first clip, as the reference intended
+                    # (main.py:159-163, commented there)
+                    from zeroshotvideoclassification_tpu.utils.gif import batch2gif
+
+                    sdir = os.path.join(self.savename, "samples")
+                    os.makedirs(sdir, exist_ok=True)
+                    batch2gif(
+                        np.asarray(batch["x"][0, 0]),
+                        int(host.label[0]),
+                        os.path.join(sdir, f"samples_train_epoch{epoch}_"),
+                        classes=table.classes if host.label[0] >= 0 else None)
+                    sample_saved = True
                 sharded = shard_batch(self.mesh, batch)
                 if spc > 1 and self.scan_train_step is not None:
                     pending.append(sharded)

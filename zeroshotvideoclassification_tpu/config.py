@@ -67,6 +67,9 @@ class Config:
     eval_n_clips_full: int = 25       # dataset.py:75 (--evaluate path)
     log_every: int = 10
     keep_bn_fp32: bool = True
+    save_samples: bool = False        # dump one input clip as GIF per epoch
+                                      # (the reference had this commented out,
+                                      # main.py:159-163)
 
     # ------------------------------------------------------------------
     @property
@@ -152,6 +155,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--word2vec_path", default=d.word2vec_path, type=str)
     p.add_argument("--decode_workers", default=d.decode_workers, type=int)
     p.add_argument("--steps_per_call", default=d.steps_per_call, type=int)
+    p.add_argument("--save_samples", action="store_true", default=False)
     return p
 
 

@@ -39,5 +39,6 @@ def batch2gif(frames: np.ndarray, label: int, savepath: str,
     images = inverse_transform(np.asarray(frames), mode)
     name = str(classes[int(label)]) if classes is not None else ""
     path = savepath + name.replace("/", "_") + ".gif"
-    imageio.mimsave(path, list(images), fps=fps)
+    # imageio >= 2.28 deprecated fps for the pillow GIF plugin
+    imageio.mimsave(path, list(images), duration=1000.0 / fps)
     return path
