@@ -315,7 +315,15 @@ class Experiment:
                   f"OVERLAP {cfg.class_overlap} SAMPLES {trainsamples}")
             t0 = time.time()
             if not cfg.evaluate and self.datasets["training"]:
-                summary.update(self.train_one_epoch(epoch))
+                if cfg.profile_dir and epoch == self.start_epoch:
+                    from zeroshotvideoclassification_tpu.utils.profiler import (
+                        device_trace,
+                    )
+
+                    with device_trace(cfg.profile_dir):
+                        summary.update(self.train_one_epoch(epoch))
+                else:
+                    summary.update(self.train_one_epoch(epoch))
             accuracies = []
             for table in self.datasets["testing"]:
                 r = self.evaluate(table, epoch)

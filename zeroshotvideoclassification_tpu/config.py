@@ -70,6 +70,10 @@ class Config:
     save_samples: bool = False        # dump one input clip as GIF per epoch
                                       # (the reference had this commented out,
                                       # main.py:159-163)
+    profile_dir: str = ""             # if set, jax.profiler-trace the first
+                                      # trained epoch into this dir (replaces
+                                      # the reference's wall-clock-only
+                                      # accounting, main.py:216-218)
 
     # ------------------------------------------------------------------
     @property
@@ -156,6 +160,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--decode_workers", default=d.decode_workers, type=int)
     p.add_argument("--steps_per_call", default=d.steps_per_call, type=int)
     p.add_argument("--save_samples", action="store_true", default=False)
+    p.add_argument("--profile_dir", default=d.profile_dir, type=str)
     return p
 
 
