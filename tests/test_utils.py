@@ -72,3 +72,29 @@ def test_timer_accumulates():
     with t:
         pass
     assert t.total >= 0
+
+
+def test_step_stats_summary():
+    from zeroshotvideoclassification_tpu.utils.profiler import StepStats
+
+    s = StepStats(warmup=1)
+    assert s.summary() == {}
+    for _ in range(5):
+        s.tick()
+    out = s.summary(items_per_step=16)
+    assert out["n"] == 3  # 4 intervals, 1 warmup dropped
+    assert out["items_per_sec"] > 0
+    assert out["p50_s"] <= out["p90_s"]
+
+
+def test_device_trace_writes_profile(tmp_path):
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+
+    from zeroshotvideoclassification_tpu.utils.profiler import device_trace
+
+    with device_trace(str(tmp_path)):
+        jax.device_get(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+    assert glob.glob(str(tmp_path / "plugins" / "profile" / "*" / "*"))
