@@ -251,8 +251,14 @@ class Experiment:
     # -------------------------------------------------------------- eval ----
     def evaluate(self, table: VideoTable, epoch: int) -> Dict[str, float]:
         cfg = self.config
-        pipe = HostPipeline(table, cfg, max(self.global_bs // max(table.n_clips, 1), 1),
-                            seed=cfg.seed)
+        # per-video batch scaled down by clips/video (reference dataset.py:75,
+        # 131 semantics), rounded UP to a multiple of the 'data' mesh axis so
+        # eval batches shard across all chips like train batches do (the tail
+        # is zero-weight-padded by HostPipeline either way)
+        n_data = self.mesh.shape.get("data", 1)
+        eval_bs = max(self.global_bs // max(table.n_clips, 1), 1)
+        eval_bs = ((eval_bs + n_data - 1) // n_data) * n_data
+        pipe = HostPipeline(table, cfg, eval_bs, seed=cfg.seed)
         from zeroshotvideoclassification_tpu.eval import extract_embeddings
 
         source = pipe
@@ -264,7 +270,9 @@ class Experiment:
                               desc="Extracting features...")
             except ImportError:
                 pass
-        batches = (device_batch(h, table.n_clips, cfg.clip_len) for h in source)
+        batches = (shard_batch(self.mesh, device_batch(h, table.n_clips,
+                                                       cfg.clip_len))
+                   for h in source)
         pred, true_e, true_l = extract_embeddings(
             self.eval_step, self.state.params, self.state.model_state, batches)
         acc, acc5 = compute_accuracy(pred, table.class_embed, true_e)
