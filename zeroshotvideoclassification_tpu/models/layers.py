@@ -194,8 +194,14 @@ def maxpool3d(
     dims = (1, *window_dhw, 1)
     strides = (1, *stride_dhw, 1)
     pads = ((0, 0), *[(p, p) for p in padding_dhw], (0, 0))
-    neg = jnp.array(-jnp.inf, dtype=x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) \
-        else jnp.iinfo(x.dtype).min
+    # init value must be a PYTHON scalar: a jnp.array init prevents jax from
+    # recognizing the max monoid, falling back to the generic reduce_window
+    # primitive which has NO reverse-mode autodiff rule (C3D training would
+    # fail at pool backward)
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        neg = -np.inf
+    else:
+        neg = int(jnp.iinfo(x.dtype).min)
     return jax.lax.reduce_window(x, neg, jax.lax.max, dims, strides, pads)
 
 
