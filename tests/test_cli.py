@@ -20,8 +20,9 @@ ARGS = [
 
 def _run(tmp_path, extra=(), **cfg_overrides):
     cfg = config_from_args(ARGS + ["--save_path", str(tmp_path)] + list(extra))
-    # keep eval cheap on the 1-core CPU host: 2 clips/video instead of 4/25
-    cfg = cfg.replace(eval_n_clips_active=2, eval_n_clips_full=2,
+    # keep eval cheap on the 1-core CPU host: 2 clips/video under --evaluate
+    # (training-time validation uses n_clips=1, reference dataset.py:134)
+    cfg = cfg.replace(eval_n_clips_both=2, eval_n_clips_others=2,
                       **cfg_overrides)
     exp = Experiment(cfg, build_datasets(cfg, None))
     return exp.run()

@@ -82,7 +82,11 @@ def test_device_batch_shapes():
 
 
 def test_multi_clip_eval_batch():
-    cfg = _cfg()
+    # --evaluate on the 'both' route: max(4, n_clips) clips/video
+    # (reference dataset.py:134); during training validation uses n_clips.
+    cfg = _cfg().replace(evaluate=True)
+    assert _cfg().eval_n_clips == _cfg().n_clips == 1
+    assert _cfg().replace(evaluate=True, dataset="kinetics2others").eval_n_clips == 25
     ds = build_datasets(cfg, None)
     table = ds["testing"][0]
     assert table.n_clips == cfg.eval_n_clips == 4

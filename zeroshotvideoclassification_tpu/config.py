@@ -63,8 +63,10 @@ class Config:
     decode_workers: int = 0           # 0 = os.cpu_count()
     canvas_hw: Tuple[int, int] = (256, 342)  # host uint8 canvas (static shape)
     epoch_sample_cap: int = 100_000   # reference caps train epoch (main.py:208)
-    eval_n_clips_active: int = 4      # dataset.py:131 (active path)
-    eval_n_clips_full: int = 25       # dataset.py:75 (--evaluate path)
+    eval_n_clips_both: int = 4        # dataset.py:134: max(2*2, n_clips) under
+                                      # --evaluate on the 'both' route
+    eval_n_clips_others: int = 25     # dataset.py:75: max(5*5, n_clips) under
+                                      # --evaluate on the kinetics2others route
     log_every: int = 10
     keep_bn_fp32: bool = True
     save_samples: bool = False        # dump one input clip as GIF per epoch
@@ -82,7 +84,14 @@ class Config:
 
     @property
     def eval_n_clips(self) -> int:
-        n = self.eval_n_clips_full if self.evaluate else self.eval_n_clips_active
+        """Eval clips/video, matching the reference's ACTIVE routes: during
+        training, validation uses opt.n_clips (dataset.py:75,134 when not
+        opt.evaluate); under --evaluate it is max(4, n_clips) on the 'both'
+        route and max(25, n_clips) on the 'others' route."""
+        if not self.evaluate:
+            return self.n_clips
+        n = (self.eval_n_clips_others if "other" in self.dataset
+             else self.eval_n_clips_both)
         return max(n, self.n_clips)
 
     def savename(self, n_devices: int = 1) -> str:

@@ -68,6 +68,12 @@ def decode_frame_dir(
 
     if cv2 is None:
         return None, False
+    # Corrupt-frame divergence from the reference (deliberate, corrupt-data
+    # only): `paths` is in GATHER order and may be loop-padded/non-monotonic,
+    # so repeating the previous gathered frame can substitute a temporally
+    # LATER frame than the reference's sequential repeat-last
+    # (auxiliary_dataset.py:253-258); a broken FIRST frame aborts the whole
+    # sample (-> weight-0) where the reference substituted noise frames.
     frames = []
     for p in paths:
         img = cv2.imread(p)

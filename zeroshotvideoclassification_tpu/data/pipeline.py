@@ -49,10 +49,25 @@ def _fit_to_canvas(frames: np.ndarray, canvas_hw, short_side: int) -> np.ndarray
     scale = min(1.0, ch / h, cw / w)
     # never shrink below the resize target's short side
     scale = max(scale, min(1.0, float(short_side) / min(h, w)))
-    nh, nw = min(int(h * scale), ch), min(int(w * scale), cw)
-    out = np.empty((t, nh, nw, 3), np.uint8)
-    for i in range(t):
-        out[i] = cv2.resize(frames[i], (nw, nh), interpolation=cv2.INTER_LINEAR)
+    nh, nw = int(h * scale), int(w * scale)
+    if (nh, nw) != (h, w):
+        out = np.empty((t, nh, nw, 3), np.uint8)
+        for i in range(t):
+            out[i] = cv2.resize(frames[i], (nw, nh),
+                                interpolation=cv2.INTER_LINEAR)
+    else:
+        out = frames
+    # The short-side floor can push the long side past the canvas for extreme
+    # aspect ratios (> ~2.67:1 at the 256x342 default). Center-crop the
+    # overflow instead of clamping each dimension independently (which
+    # squeezed the frame): aspect is preserved, and the discarded margin is
+    # content the downstream 112-crop window would almost never sample.
+    if nh > ch:
+        top = (nh - ch) // 2
+        out = out[:, top:top + ch]
+    if nw > cw:
+        left = (nw - cw) // 2
+        out = out[:, :, left:left + cw]
     return out
 
 

@@ -21,10 +21,26 @@ import jax
 import numpy as np
 
 
+def _entry_str(p) -> str:
+    """Version-independent string for one key-path entry.
+
+    Handles every jax.tree_util key type explicitly (DictKey/
+    FlattenedIndexKey carry .key, GetAttrKey carries .name, SequenceKey
+    carries .idx) instead of falling back to str(entry), whose repr is a JAX
+    implementation detail — namedtuple fields in optax state previously
+    serialized as '.field' and would silently break strict restores if a JAX
+    upgrade changed the repr."""
+    for attr in ("key", "name", "idx"):
+        v = getattr(p, attr, None)
+        if v is not None:
+            return str(v)
+    return str(p)
+
+
 def _flatten(tree) -> Dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        key = "/".join(_entry_str(p) for p in path)
         flat[key] = np.asarray(leaf)
     return flat
 
@@ -38,7 +54,7 @@ def _unflatten_into(template, flat: Dict[str, np.ndarray]):
     loaded = 0
     new_leaves = []
     for path, leaf in paths_leaves[0]:
-        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        key = "/".join(_entry_str(p) for p in path)
         if key in flat and flat[key].shape == np.shape(leaf):
             new_leaves.append(flat[key].astype(np.asarray(leaf).dtype))
             loaded += 1
