@@ -21,9 +21,10 @@ ARGS = [
 def _run(tmp_path, extra=(), **cfg_overrides):
     cfg = config_from_args(ARGS + ["--save_path", str(tmp_path)] + list(extra))
     # keep eval cheap on the 1-core CPU host: 2 clips/video under --evaluate
-    # (training-time validation uses n_clips=1, reference dataset.py:134)
+    # (training-time validation uses n_clips=1, reference dataset.py:134);
+    # nopretrained keeps these runs hermetic (no asset autoload)
     cfg = cfg.replace(eval_n_clips_both=2, eval_n_clips_others=2,
-                      **cfg_overrides)
+                      nopretrained=True, **cfg_overrides)
     exp = Experiment(cfg, build_datasets(cfg, None))
     return exp.run()
 
@@ -60,3 +61,42 @@ def test_cli_train_eval_checkpoint_resume(tmp_path):
     summary4 = _run(tmp_path, extra=["--steps_per_call", "2", "--save_samples"])
     assert np.isfinite(summary4["loss"])
     assert glob.glob(str(tmp_path / "**" / "samples" / "*.gif"), recursive=True)
+
+
+def test_pretrained_autoload_changes_init(tmp_path):
+    """--nopretrained is a REAL switch (reference quirk #3): with it unset the
+    trainer auto-loads the ported backbone from pretrained_dir and trains one
+    epoch warm-started; with it set, init stays random."""
+    import jax
+    import torch
+
+    from tests.test_porting import _export_video_resnet
+    from zeroshotvideoclassification_tpu.models.resnet3d import r3d_18
+    from zeroshotvideoclassification_tpu.tools.port_checkpoint import (
+        main as port_main,
+    )
+
+    bb_params, bb_state = jax.jit(r3d_18().init)(jax.random.PRNGKey(123))
+    src = str(tmp_path / "src.pth")
+    torch.save(_export_video_resnet(bb_params, bb_state, "r3d_18"), src)
+    pdir = str(tmp_path / "pretrained")
+    port_main(["--src", src, "--network", "r3d_18",
+               "--out", f"{pdir}/r3d_18.npz"])
+
+    cfg = config_from_args(ARGS + ["--save_path", str(tmp_path / "exp")])
+    cfg = cfg.replace(eval_n_clips_both=2, eval_n_clips_others=2,
+                      pretrained_dir=pdir)
+    ds = build_datasets(cfg, None)
+
+    exp = Experiment(cfg, ds)
+    got = np.asarray(exp.state.params["backbone"]["stem"]["conv1"]["w"])
+    np.testing.assert_array_equal(got, np.asarray(bb_params["stem"]["conv1"]["w"]))
+    got_bn = np.asarray(exp.state.model_state["backbone"]["stem"]["bn1"]["var"])
+    np.testing.assert_array_equal(got_bn,
+                                  np.asarray(bb_state["stem"]["bn1"]["var"]))
+    summary = exp.run()  # one warm-started epoch end-to-end
+    assert np.isfinite(summary["loss"])
+
+    exp2 = Experiment(cfg.replace(nopretrained=True), ds)
+    rand = np.asarray(exp2.state.params["backbone"]["stem"]["conv1"]["w"])
+    assert not np.array_equal(rand, got)

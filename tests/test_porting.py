@@ -118,3 +118,51 @@ def test_port_head_mappings(rng):
         mlp["fc2"]["w"], sd["output2emb_proj.layers.1.weight"].T)
     lin = port_head(sd, "c3d")
     assert lin["regressor"]["w"].shape == (4096, 300)
+
+
+# ------------------------------------------- end-to-end pretrained wiring ---
+
+def test_port_checkpoint_cli_and_warm_start(tmp_path):
+    """Torch-format checkpoint on disk -> tools.port_checkpoint CLI -> npz ->
+    warm_start restores backbone params AND BN running stats; the head keeps
+    its fresh init (reference pretrained=True semantics, resnet.py:284-362)."""
+    import torch
+
+    from zeroshotvideoclassification_tpu.config import Config
+    from zeroshotvideoclassification_tpu.models import get_network
+    from zeroshotvideoclassification_tpu.tools.port_checkpoint import (
+        main as port_main,
+    )
+    from zeroshotvideoclassification_tpu.train import warm_start
+
+    arch = "r3d_18"
+    bb_params, bb_state = jax.jit(r3d_18().init)(jax.random.PRNGKey(0))
+    src = str(tmp_path / "r3d_18-fake.pth")
+    torch.save(_export_video_resnet(bb_params, bb_state, arch), src)
+
+    out = str(tmp_path / "pretrained" / "r3d_18.npz")
+    port_main(["--src", src, "--network", arch, "--out", out])
+
+    model = get_network(Config(network=arch, head="mlp"))
+    fp, fs = jax.jit(model.init)(jax.random.PRNGKey(5))
+    wp, ws, n = warm_start(out, fp, fs, network=arch)
+    assert n == len(jax.tree.leaves(bb_params)) + len(jax.tree.leaves(bb_state))
+    _assert_trees_equal(wp["backbone"], bb_params)
+    _assert_trees_equal(ws["backbone"], bb_state)
+    _assert_trees_equal(wp["head"], fp["head"])  # head untouched
+
+    # the torch file itself is also accepted directly (in-memory port)
+    wp2, ws2, n2 = warm_start(src, fp, fs, network=arch)
+    assert n2 == n
+    _assert_trees_equal(wp2["backbone"], bb_params)
+
+
+def test_detect_source_kind():
+    from zeroshotvideoclassification_tpu.models.porting import (
+        detect_source_kind,
+    )
+
+    assert detect_source_kind({"stem.0.weight": 0}) == "torchvision"
+    assert detect_source_kind({"conv1.weight": 0, "fc6.weight": 0}) == "c3d"
+    assert detect_source_kind({"model.stem.0.weight": 0,
+                               "output2emb_proj.layers.0.weight": 0}) == "reference"

@@ -108,9 +108,14 @@ class Experiment:
             self.savename = os.path.dirname(config.resume) or base
         else:
             if config.weights and config.weights != "none":
-                params, n = warm_start(config.weights, self.state.params)
-                self.state = dataclasses.replace(self.state, params=params)
+                params, mstate, n = warm_start(
+                    config.weights, self.state.params, self.state.model_state,
+                    network=config.network, head=config.head)
+                self.state = dataclasses.replace(
+                    self.state, params=params, model_state=mstate)
                 print(f"LOADED MODEL: {config.weights} ({n} tensors)")
+            elif not config.nopretrained:
+                self._warm_start_pretrained()
             # de-dup the experiment dir with a _N suffix (main.py:94-97)
             self.savename, count = base, 1
             while os.path.exists(self.savename):
@@ -131,6 +136,36 @@ class Experiment:
         os.makedirs(self.savename, exist_ok=True)
         self.log = MetricsLogger(self.savename)
         self.best_acc = getattr(self, "best_acc_init", 0.0)
+
+    # -------------------------------------------------------- pretrained ----
+    def _warm_start_pretrained(self) -> None:
+        """--nopretrained made real (reference quirk #3: its flag could never
+        be True, so backbones were silently always random). When NOT set, the
+        trainer auto-loads a ported pretrained backbone — the analog of the
+        reference's pretrained=True torchvision constructors
+        (/root/reference/resnet.py:284-362) and C3D's ./assets/c3d.pickle load
+        (/root/reference/network.py:129-130)."""
+        cfg = self.config
+        candidates = [
+            os.path.join(cfg.pretrained_dir, f"{cfg.network}.npz"),
+            os.path.join(cfg.pretrained_dir, f"{cfg.network}.pth"),
+            os.path.join(cfg.pretrained_dir, f"{cfg.network}.pth.tar"),
+        ]
+        if "c3d" in cfg.network:
+            candidates.append("./assets/c3d.pickle")  # reference's exact path
+        for path in candidates:
+            if os.path.exists(path):
+                params, mstate, n = warm_start(
+                    path, self.state.params, self.state.model_state,
+                    network=cfg.network, head=cfg.head)
+                self.state = dataclasses.replace(
+                    self.state, params=params, model_state=mstate)
+                print(f"PRETRAINED: loaded {n} tensors from {path}")
+                return
+        print(f"WARNING: no pretrained asset for {cfg.network!r} under "
+              f"{cfg.pretrained_dir!r} — training from random init "
+              f"(tools/port_checkpoint.py ports torchvision/.pickle weights; "
+              f"pass --nopretrained to silence this)")
 
     # ------------------------------------------------------------- train ----
     def train_one_epoch(self, epoch: int) -> Dict[str, float]:

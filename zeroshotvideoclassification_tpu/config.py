@@ -55,6 +55,8 @@ class Config:
     mesh_axes: Tuple[str, ...] = ("data",)
     seed: int = 0
     data_root: str = "/mnt/hdd1"      # dataset root (reference hardcodes this)
+    pretrained_dir: str = "./assets/pretrained"  # ported pretrained weights
+                                      # (auto-loaded unless --nopretrained)
     word2vec_path: str = "./assets/GoogleNews-vectors-negative300.bin"
     word2vec_cache: str = "./assets/word2vec_cache.npz"
     prefetch_depth: int = 2           # host->device pipeline depth
@@ -165,6 +167,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", default=d.compute_dtype, type=str)
     p.add_argument("--seed", default=d.seed, type=int)
     p.add_argument("--data_root", default=d.data_root, type=str)
+    p.add_argument("--pretrained_dir", default=d.pretrained_dir, type=str)
     p.add_argument("--word2vec_path", default=d.word2vec_path, type=str)
     p.add_argument("--decode_workers", default=d.decode_workers, type=int)
     p.add_argument("--steps_per_call", default=d.steps_per_call, type=int)

@@ -162,7 +162,10 @@ def port_reference_checkpoint(path: str, network: str, head: str):
 
     The reference nests the backbone under 'model.' (network.py:481); head
     weights sit at the top level."""
-    sd = load_torch_state_dict(path)
+    return _port_reference_sd(load_torch_state_dict(path), network, head)
+
+
+def _port_reference_sd(sd: Dict[str, np.ndarray], network: str, head: str):
     if network == "c3d":
         bb_sd = {k: v for k, v in sd.items()}
         bb_params, bb_state = port_c3d(bb_sd)
@@ -173,3 +176,59 @@ def port_reference_checkpoint(path: str, network: str, head: str):
         {"backbone": bb_params, "head": port_head(sd, head)},
         {"backbone": bb_state},
     )
+
+
+def detect_source_kind(sd: Dict[str, np.ndarray]) -> str:
+    """Classify a torch state_dict: 'reference' (full fork checkpoint, head
+    weights at top level / backbone under 'model.'), 'c3d' (DavideA pickle,
+    bare conv1..fc8), or 'torchvision' (bare video-resnet)."""
+    keys = set(sd)
+    if any(k.startswith("model.") for k in keys) or any(
+        k.startswith(("output2emb_proj.", "regressor.")) for k in keys
+    ):
+        return "reference"
+    if "conv5b.weight" in keys or ("conv1.weight" in keys and "fc6.weight" in keys):
+        return "c3d"
+    return "torchvision"
+
+
+def port_any(sd: Dict[str, np.ndarray], network: str, head: str):
+    """state_dict (any supported source) -> (params, state) pytrees.
+
+    Backbone-only sources (torchvision .pth, c3d.pickle) yield
+    {'backbone': ...} trees — the head stays at its random init exactly like
+    the reference's pretrained=True constructors (resnet.py:284-362,
+    network.py:129-130 load backbones only)."""
+    kind = detect_source_kind(sd)
+    if kind == "reference":
+        return _port_reference_sd(sd, network, head)
+    if kind == "c3d":
+        p, s = port_c3d(sd)
+        return {"backbone": p}, {"backbone": s}
+    p, s = port_video_resnet(sd, network)
+    return {"backbone": p}, {"backbone": s}
+
+
+def port_file(path: str, network: str, head: str = "mlp"):
+    """Torch checkpoint file -> (params, state) pytrees."""
+    return port_any(load_torch_state_dict(path), network, head)
+
+
+def save_ported_npz(out_path: str, params, state, source: str = "") -> None:
+    """Write ported pytrees in the framework checkpoint layout
+    (params::... / model_state::... flat keys) so train.checkpoint.warm_start
+    consumes them directly."""
+    import json
+    import os
+
+    from zeroshotvideoclassification_tpu.train.checkpoint import _flatten
+
+    payload = {}
+    for section, tree in (("params", params), ("model_state", state)):
+        for k, v in _flatten(tree).items():
+            payload[f"{section}::{k}"] = v
+    payload["__step__"] = np.zeros((), np.int32)
+    meta = {"epoch": -1, "accuracy": 0.0, "ported_from": source}
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "wb") as f:
+        np.savez(f, __meta__=json.dumps(meta), **payload)

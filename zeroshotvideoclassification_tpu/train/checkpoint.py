@@ -130,14 +130,37 @@ def load_checkpoint(
     )
 
 
-def warm_start(path: str, params) -> Tuple[Any, int]:
-    """Non-strict partial load of PARAMS only (--weights semantics,
-    main.py:114-124: intersect keys, update, keep the rest). Accepts both our
-    npz checkpoints and — via models.porting — reference .pth.tar files."""
-    if path.endswith((".pth", ".pth.tar", ".pickle")):
-        raise ValueError(
-            "torch checkpoints must be ported first: see models/porting.py")
-    data = np.load(path, allow_pickle=False)
-    flat = {k.split("::", 1)[1]: data[k] for k in data.files if k.startswith("params::")}
-    tree, loaded, total = _unflatten_into(params, flat)
-    return tree, loaded
+def warm_start(
+    path: str,
+    params,
+    model_state=None,
+    network: str = "r2plus1d_18",
+    head: str = "mlp",
+):
+    """Non-strict partial load (--weights semantics, main.py:114-124:
+    intersect keys, update, keep the rest).
+
+    Accepts framework npz checkpoints AND torch sources directly
+    (.pth/.pth.tar/.pickle: torchvision video-resnet weights, c3d.pickle,
+    or a full reference fork checkpoint — ported in-memory via
+    models.porting; `network`/`head` select the target layout).
+
+    Returns (params, n_loaded), or (params, model_state, n_loaded) when
+    `model_state` is given — BN running statistics are warm-started too,
+    which pretrained evaluation quality depends on."""
+    if path.endswith((".pth", ".pth.tar", ".pickle", ".pkl")):
+        from zeroshotvideoclassification_tpu.models.porting import port_file
+
+        p_tree, s_tree = port_file(path, network, head)
+        p_flat, s_flat = _flatten(p_tree), _flatten(s_tree)
+    else:
+        data = np.load(path, allow_pickle=False)
+        p_flat = {k.split("::", 1)[1]: data[k] for k in data.files
+                  if k.startswith("params::")}
+        s_flat = {k.split("::", 1)[1]: data[k] for k in data.files
+                  if k.startswith("model_state::")}
+    tree, loaded, _ = _unflatten_into(params, p_flat)
+    if model_state is None:
+        return tree, loaded
+    state_tree, s_loaded, _ = _unflatten_into(model_state, s_flat)
+    return tree, state_tree, loaded + s_loaded
