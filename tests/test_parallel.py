@@ -108,3 +108,91 @@ def test_batch_sharding_ndim():
     s4 = batch_sharding(mesh, 4)
     assert s1.spec == P("data")
     assert s4.spec == P("data", None, None, None)
+
+
+# ----------------------------------------------------------- multi-host -----
+
+def _fake_processes(monkeypatch, pc, pi):
+    monkeypatch.setattr(jax, "process_count", lambda: pc)
+    monkeypatch.setattr(jax, "process_index", lambda: pi)
+
+
+def test_shard_table_lockstep_and_disjoint(monkeypatch):
+    """Each fake process sees only its slice; slices are disjoint, cover the
+    table, and ALL have identical length (lockstep padding, label -1)."""
+    from zeroshotvideoclassification_tpu.config import Config
+    from zeroshotvideoclassification_tpu.data.datasets import build_datasets
+    from zeroshotvideoclassification_tpu.parallel import shard_table
+
+    cfg = Config(dataset="synthetic", class_total=5, train_samples=13, bs=4)
+    table = build_datasets(cfg, None)["training"][0]
+    n, pc = len(table), 4
+    per = -(-n // pc)
+    seen = []
+    for pi in range(pc):
+        _fake_processes(monkeypatch, pc, pi)
+        local = shard_table(table)
+        assert len(local) == per  # lockstep: equal batch counts everywhere
+        valid = local.label_idx >= 0
+        seen.extend(str(f) for f in local.fnames[valid])
+        np.testing.assert_array_equal(
+            local.label_idx[valid],
+            table.label_idx[pi * per:pi * per + valid.sum()])
+    assert sorted(seen) == sorted(str(f) for f in table.fnames)
+    # single-process: identity
+    _fake_processes(monkeypatch, 1, 0)
+    assert shard_table(table) is table
+
+
+def test_padded_shard_rows_get_weight_zero(monkeypatch):
+    """Lockstep-padding rows (label -1) skip decode and emit weight 0."""
+    from zeroshotvideoclassification_tpu.config import Config
+    from zeroshotvideoclassification_tpu.data.datasets import build_datasets
+    from zeroshotvideoclassification_tpu.data.pipeline import HostPipeline
+    from zeroshotvideoclassification_tpu.parallel import shard_table
+
+    cfg = Config(dataset="synthetic", class_total=5, train_samples=10,
+                 bs=4, clip_len=2)
+    table = build_datasets(cfg, None)["testing"][0]  # validation: stable order
+    pc = 3
+    n, per = len(table), -(-len(table) // pc)
+    n_pad = per * pc - n
+    assert n_pad > 0, "fixture must exercise padding"
+    _fake_processes(monkeypatch, pc, pc - 1)  # last process holds the pads
+    local = shard_table(table)
+    batches = list(HostPipeline(local, cfg, per, seed=0))
+    total_weight = sum(float(b.weight.sum()) for b in batches)
+    assert total_weight == per - n_pad
+    assert int((batches[-1].label < 0).sum()) >= n_pad
+
+
+def test_device_batch_global_matches_local_path():
+    """Single-process: the globally-sharded assembly is numerically identical
+    to device_batch + shard_batch (the pre-multihost trainer path)."""
+    from zeroshotvideoclassification_tpu.config import Config
+    from zeroshotvideoclassification_tpu.data.datasets import build_datasets
+    from zeroshotvideoclassification_tpu.data.pipeline import (
+        HostPipeline,
+        device_batch,
+        device_batch_global,
+    )
+
+    cfg = Config(dataset="synthetic", class_total=4, train_samples=8,
+                 bs=8, clip_len=2)
+    table = build_datasets(cfg, None)["training"][0]
+    hb = next(iter(HostPipeline(table, cfg, 8, seed=0)))
+    mesh = make_mesh((-1,), ("data",))
+    a = device_batch(hb, table.n_clips, cfg.clip_len)
+    b = device_batch_global(mesh, hb, table.n_clips, cfg.clip_len)
+    for k in ("x", "z", "label", "weight"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+    # and the global batch really is sharded over 'data'
+    assert b["x"].sharding.spec == P("data")
+
+
+def test_fetch_global_identity():
+    from zeroshotvideoclassification_tpu.parallel import fetch_global
+
+    x = jnp.arange(6.0).reshape(2, 3)
+    np.testing.assert_array_equal(fetch_global(x), np.asarray(x))
+    np.testing.assert_array_equal(fetch_global(np.ones(3)), np.ones(3))

@@ -26,7 +26,11 @@ import numpy as np
 
 from zeroshotvideoclassification_tpu.config import Config, config_from_args
 from zeroshotvideoclassification_tpu.data.datasets import VideoTable, build_datasets
-from zeroshotvideoclassification_tpu.data.pipeline import HostPipeline, device_batch
+from zeroshotvideoclassification_tpu.data.pipeline import (
+    HostPipeline,
+    device_batch,
+    device_batch_global,
+)
 from zeroshotvideoclassification_tpu.eval.zeroshot import (
     compute_accuracy,
     split_protocol,
@@ -34,8 +38,9 @@ from zeroshotvideoclassification_tpu.eval.zeroshot import (
 from zeroshotvideoclassification_tpu.models import get_network
 from zeroshotvideoclassification_tpu.parallel import (
     make_mesh,
+    maybe_initialize,
     replicated,
-    shard_batch,
+    shard_table,
 )
 from zeroshotvideoclassification_tpu.train import (
     create_train_state,
@@ -67,6 +72,14 @@ class Experiment:
         self.mesh = make_mesh(config.mesh_shape, config.mesh_axes)
         n_data = self.mesh.shape.get("data", 1)
         self.global_bs = config.bs * n_data  # reference: bs * n_gpus (main.py:61-63)
+        # multi-host: each process decodes/feeds only its slice of the global
+        # batch (jax.make_array_from_process_local_data stitches them)
+        pc = jax.process_count()
+        if self.global_bs % pc:
+            raise ValueError(
+                f"global batch {self.global_bs} not divisible by "
+                f"process_count {pc}; adjust --bs")
+        self.local_bs = self.global_bs // pc
         self.model = get_network(config)
         self.optimizer = make_optimizer(config.lr)
         self.lr_at = multistep_lr(config.lr, config.n_epochs)
@@ -171,7 +184,10 @@ class Experiment:
     def train_one_epoch(self, epoch: int) -> Dict[str, float]:
         cfg = self.config
         table = self.datasets["training"][0]
-        pipe = HostPipeline(table, cfg, self.global_bs, seed=cfg.seed + epoch)
+        # each process pipelines only its lockstep-padded table shard
+        # (identity when single-process)
+        pipe = HostPipeline(shard_table(table), cfg, self.local_bs,
+                            seed=cfg.seed + epoch)
         class_embed = jax.device_put(table.class_embed, replicated(self.mesh))
         new_opt = set_lr(self.state.opt_state, self.lr_at(epoch))
         self.state = dataclasses.replace(self.state, opt_state=new_opt)
@@ -242,21 +258,24 @@ class Experiment:
             if host is None:
                 break
             with model_t:
-                batch = device_batch(host, table.n_clips, cfg.clip_len)
-                if not sample_saved:
+                if not sample_saved and jax.process_index() == 0:
                     # debug GIF of the first clip, as the reference intended
-                    # (main.py:159-163, commented there)
+                    # (main.py:159-163, commented there); rendered from the
+                    # LOCAL host batch (global arrays may not be addressable
+                    # on this process under multi-host)
                     from zeroshotvideoclassification_tpu.utils.gif import batch2gif
 
+                    local = device_batch(host, table.n_clips, cfg.clip_len)
                     sdir = os.path.join(self.savename, "samples")
                     os.makedirs(sdir, exist_ok=True)
                     batch2gif(
-                        np.asarray(batch["x"][0, 0]),
+                        np.asarray(local["x"][0, 0]),
                         int(host.label[0]),
                         os.path.join(sdir, f"samples_train_epoch{epoch}_"),
                         classes=table.classes if host.label[0] >= 0 else None)
                     sample_saved = True
-                sharded = shard_batch(self.mesh, batch)
+                sharded = device_batch_global(
+                    self.mesh, host, table.n_clips, cfg.clip_len)
                 if spc > 1 and self.scan_train_step is not None:
                     pending.append(sharded)
                     if len(pending) == spc:
@@ -291,9 +310,14 @@ class Experiment:
         # eval batches shard across all chips like train batches do (the tail
         # is zero-weight-padded by HostPipeline either way)
         n_data = self.mesh.shape.get("data", 1)
+        pc = jax.process_count()
         eval_bs = max(self.global_bs // max(table.n_clips, 1), 1)
-        eval_bs = ((eval_bs + n_data - 1) // n_data) * n_data
-        pipe = HostPipeline(table, cfg, eval_bs, seed=cfg.seed)
+        # round up to a multiple of lcm(n_data, process_count) so eval batches
+        # both shard evenly and split evenly across processes
+        mult = n_data * pc // np.gcd(n_data, pc)
+        eval_bs = ((eval_bs + mult - 1) // mult) * mult
+        pipe = HostPipeline(shard_table(table), cfg, eval_bs // pc,
+                            seed=cfg.seed)
         from zeroshotvideoclassification_tpu.eval import extract_embeddings
 
         source = pipe
@@ -305,8 +329,8 @@ class Experiment:
                               desc="Extracting features...")
             except ImportError:
                 pass
-        batches = (shard_batch(self.mesh, device_batch(h, table.n_clips,
-                                                       cfg.clip_len))
+        batches = (device_batch_global(self.mesh, h, table.n_clips,
+                                       cfg.clip_len)
                    for h in source)
         pred, true_e, true_l = extract_embeddings(
             self.eval_step, self.state.params, self.state.model_state, batches)
@@ -390,6 +414,9 @@ class Experiment:
 
 
 def main(argv=None):
+    # multi-host (DCN) process init first: jax.devices()/process_count must
+    # reflect the full job before mesh construction (SURVEY §2.3)
+    maybe_initialize()
     config = config_from_args(argv)
     wv_model = None
     if "synthetic" not in config.dataset:

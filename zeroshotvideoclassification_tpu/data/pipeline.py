@@ -129,6 +129,10 @@ class HostPipeline:
     # -------------------------------------------------------------- decode --
     def _decode_one(self, i: int, rng: np.random.Generator):
         t = self.table
+        if int(t.label_idx[i]) < 0:
+            # multi-host lockstep padding row (parallel.multihost.shard_table)
+            # -> weight-0 sample, no decode
+            return None
         nc, cl = t.n_clips, self.config.clip_len
         if t.loader == "synthetic":
             cid, sidx = t.fnames[i]
@@ -359,3 +363,60 @@ def device_batch(host_batch: HostBatch, n_clips: int, clip_len: int,
         "label": jnp.asarray(host_batch.label),
         "weight": jnp.asarray(host_batch.weight),
     }
+
+
+def device_batch_global(mesh, host_batch: HostBatch, n_clips: int,
+                        clip_len: int, out_dtype=None) -> Dict:
+    """Globally-sharded device batch (the trainer/eval path).
+
+    Host arrays go straight to their final 'data'-axis sharding —
+    parallel.multihost.global_batch stitches per-process local shards into
+    global arrays under multi-host (jax.make_array_from_process_local_data),
+    and is a plain sharded device_put single-process. The fused transform
+    then runs SPMD on the already-sharded canvas, so (unlike
+    device_batch + shard_batch) no unsharded intermediate is materialized.
+    -> {'x': [B, nc, cl, S, S, 3] sharded on 'data', 'z', 'label', 'weight'}."""
+    from zeroshotvideoclassification_tpu.parallel.multihost import global_batch
+
+    names = ("canvas", "y0", "y1", "wy", "x0", "x1", "wx", "z", "label",
+             "weight")
+    g = global_batch(mesh, {k: getattr(host_batch, k) for k in names})
+    kw = {}
+    if out_dtype is not None:
+        kw["out_dtype"] = out_dtype
+    if host_batch.image_mode:
+        import jax.numpy as jnp
+
+        from zeroshotvideoclassification_tpu.data.stillimages import (
+            CH_OFFSET,
+            CH_SCALE,
+        )
+        from zeroshotvideoclassification_tpu.ops.resample import (
+            fused_image_motion_transform,
+        )
+
+        x = fused_image_motion_transform(
+            g["canvas"], g["y0"], g["y1"], g["wy"], g["x0"], g["x1"], g["wx"],
+            jnp.asarray(CH_SCALE), jnp.asarray(CH_OFFSET), **kw)
+    else:
+        import os
+
+        if os.environ.get("ZSVC_PALLAS_RESAMPLE") == "1":
+            from zeroshotvideoclassification_tpu.ops.resample_pallas import (
+                fused_video_transform_pallas,
+            )
+
+            x = fused_video_transform_pallas(
+                g["canvas"], g["y0"], g["y1"], g["wy"], g["x0"], g["x1"],
+                g["wx"], **kw)
+        else:
+            from zeroshotvideoclassification_tpu.ops.resample import (
+                fused_video_transform,
+            )
+
+            x = fused_video_transform(
+                g["canvas"], g["y0"], g["y1"], g["wy"], g["x0"], g["x1"],
+                g["wx"], **kw)
+    b, s, c = x.shape[0], x.shape[2], x.shape[-1]
+    x = x.reshape(b, n_clips, clip_len, s, s, c)
+    return {"x": x, "z": g["z"], "label": g["label"], "weight": g["weight"]}

@@ -77,14 +77,19 @@ def extract_embeddings(
     Each batch: dict with 'x' [B, nc, T, H, W, 3], 'z' [B, 300],
     'label' [B], 'weight' [B] (0 marks broken/padding samples — the
     reference's label==-1 convention, main.py:246-247).
-    Returns (pred_embed [N,300], true_embed [N,300], true_label [N])."""
+    Returns (pred_embed [N,300], true_embed [N,300], true_label [N]).
+    Under multi-host, batch arrays are globally sharded; fetch_global
+    all-gathers them so every process sees the full eval set (metrics are
+    computed redundantly on each host, like the schedule)."""
+    from zeroshotvideoclassification_tpu.parallel.multihost import fetch_global
+
     preds, trues, labels = [], [], []
     for batch in batches:
-        emb = np.asarray(eval_step(params, model_state, batch["x"]))
-        keep = np.asarray(batch["weight"]) > 0
+        emb = fetch_global(eval_step(params, model_state, batch["x"]))
+        keep = fetch_global(batch["weight"]) > 0
         preds.append(emb[keep])
-        trues.append(np.asarray(batch["z"])[keep])
-        labels.append(np.asarray(batch["label"])[keep])
+        trues.append(fetch_global(batch["z"])[keep])
+        labels.append(fetch_global(batch["label"])[keep])
     return (
         np.concatenate(preds, axis=0),
         np.concatenate(trues, axis=0),

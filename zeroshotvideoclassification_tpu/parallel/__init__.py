@@ -21,4 +21,6 @@ from zeroshotvideoclassification_tpu.parallel.multihost import (
     maybe_initialize,
     process_shard,
     global_batch,
+    shard_table,
+    fetch_global,
 )

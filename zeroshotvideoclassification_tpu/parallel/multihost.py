@@ -21,8 +21,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def maybe_initialize(coordinator_address=None, num_processes=None,
                      process_id=None) -> None:
-    """jax.distributed.initialize with auto-detection (TPU VM metadata);
-    no-op when already initialized or single-process."""
+    """jax.distributed.initialize with auto-detection (TPU VM / cluster env);
+    fast no-op when nothing indicates a multi-host job — the CLI calls this
+    unconditionally at startup, and a plain single-host run must not pay a
+    cluster-detection timeout or risk a coordinator hang."""
+    import os
+
+    env = os.environ
+    hinted = any((
+        coordinator_address, num_processes,
+        env.get("JAX_COORDINATOR_ADDRESS"), env.get("COORDINATOR_ADDRESS"),
+        env.get("MEGASCALE_COORDINATOR_ADDRESS"),
+        env.get("TPU_WORKER_HOSTNAMES"), env.get("SLURM_JOB_NUM_NODES"),
+    ))
+    if not hinted:
+        return
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -38,6 +51,47 @@ def process_shard(n: int) -> Tuple[int, int]:
     pi, pc = jax.process_index(), jax.process_count()
     per = (n + pc - 1) // pc
     return min(pi * per, n), min((pi + 1) * per, n)
+
+
+def shard_table(table):
+    """Process-local slice of a VideoTable, LOCKSTEP-padded.
+
+    Every process gets exactly ceil(n / process_count) rows so that all
+    processes dispatch the same number of batches per epoch — unequal batch
+    counts would deadlock the SPMD collectives. Rows past the end of the
+    global table are marked label -1: the host pipeline skips their decode
+    and emits them with weight 0 (the broken-sample convention), so they
+    contribute nothing to loss or metrics. Single-process: returns the table
+    unchanged."""
+    pc = jax.process_count()
+    if pc == 1:
+        return table
+    import dataclasses
+
+    n = len(table)
+    per = (n + pc - 1) // pc
+    pi = jax.process_index()
+    idx = np.arange(pi * per, (pi + 1) * per)
+    valid = idx < n
+    safe = np.where(valid, idx, 0)
+    return dataclasses.replace(
+        table,
+        fnames=table.fnames[safe],
+        label_idx=np.where(valid, table.label_idx[safe], -1).astype(np.int32),
+    )
+
+
+def fetch_global(a) -> np.ndarray:
+    """np.asarray for possibly multi-host-sharded arrays.
+
+    A jit output whose shards live on other hosts is not fully addressable;
+    gather it with process_allgather (every host receives the full array —
+    the process-aware D2H the eval metrics need). Identity single-process."""
+    if getattr(a, "is_fully_addressable", True):
+        return np.asarray(a)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(a, tiled=True))
 
 
 def global_batch(mesh: Mesh, tree):
