@@ -100,3 +100,66 @@ def test_pretrained_autoload_changes_init(tmp_path):
     exp2 = Experiment(cfg.replace(nopretrained=True), ds)
     rand = np.asarray(exp2.state.params["backbone"]["stem"]["conv1"]["w"])
     assert not np.array_equal(rand, got)
+
+
+def test_sun2both_route_end_to_end(tmp_path):
+    """SUN image pretraining driven through the full trainer: _compose_sun ->
+    camera-motion inflation -> train epoch -> zero-shot eval on video test
+    sets. Also pins the reference's halved image-train batch
+    (/root/reference/dataset.py:26: `opt.bs // 2` for image training),
+    replicated here at per-device granularity."""
+    import json as _json
+
+    import cv2
+    import jax
+
+    from zeroshotvideoclassification_tpu.text import SyntheticWordVectors
+
+    root = tmp_path / "data"
+    rng = np.random.default_rng(0)
+
+    # SUN397 fixture: 2 classes x 3 images
+    sun = root / "SUN397"
+    (sun).mkdir(parents=True)
+    (sun / "ClassName.txt").write_text("/a/abbey\n/b/beach\n")
+    for cp in ("/a/abbey", "/b/beach"):
+        d = str(sun) + cp
+        os.makedirs(d)
+        for i in range(3):
+            img = rng.integers(0, 255, (200, 260, 3), np.uint8)
+            cv2.imwrite(os.path.join(d, f"img{i}.jpg"), img)
+
+    # UCF/HMDB test fixtures with real JPEG frames
+    def write_frames(d, n=4):
+        os.makedirs(d)
+        for i in range(n):
+            frame = rng.integers(0, 255, (80, 100, 3), np.uint8)
+            cv2.imwrite(os.path.join(d, "img_%05d.jpg" % (i + 1)), frame)
+
+    for name in ("v_Basketball_g01_c01", "v_Diving_g01_c01"):
+        write_frames(str(root / "UCF101" / "frames" / name / "images"))
+    hm = root / "HMDB51"
+    write_frames(str(hm / "frames" / "vidA" / "images"))
+    (hm / "hmdb51_classes.txt").write_text("climb 0\n")
+    (hm / "hmdb51.json").write_text(_json.dumps(
+        {"database": {"vidA": {"annotations": 0}}}))
+
+    cfg = config_from_args([
+        "--dataset", "sun2both", "--bs", "4", "--n_epochs", "1",
+        "--clip_len", "2", "--size", "32", "--network", "r3d_18",
+        "--compute_dtype", "float32", "--nopretrained",
+        "--save_path", str(tmp_path / "exp"), "--data_root", str(root)])
+    ds = build_datasets(cfg, SyntheticWordVectors())
+    assert ds["training"][0].loader == "image"
+    assert [t.name for t in ds["testing"]] == ["ucf101", "hmdb51"]
+
+    exp = Experiment(cfg, ds)
+    summary = exp.run()
+    assert np.isfinite(summary["loss"])
+    assert 0 <= summary["ucf101_accuracy"] <= 100
+    assert 0 <= summary["hmdb51_accuracy"] <= 100
+
+    # halved image-train batch: 6 SUN samples / (bs//2 * n_data) batches
+    n_data = exp.mesh.shape.get("data", 1)
+    pipe_bs = max(cfg.bs // 2, 1) * n_data // jax.process_count()
+    assert pipe_bs == 2 * n_data

@@ -296,3 +296,33 @@ def test_r2plus1d_block_matches_torch_functional(rng):
     res = t_bn(res, params["downsample"]["bn"], state["downsample"]["bn"])
     want = TF.relu(out + res).permute(0, 2, 3, 4, 1).numpy()
     np.testing.assert_allclose(np.asarray(got), want, atol=3e-5)
+
+
+def test_clip_pool_modes(rng):
+    """'feature' (upstream clip-mean before head) vs 'embedding' (fork per-
+    clip head): identical at n_clips=1 — the trained configuration — and
+    divergent for n_clips>1 (SURVEY quirk discussion; VERDICT r1 item 9)."""
+    from zeroshotvideoclassification_tpu.config import Config
+    from zeroshotvideoclassification_tpu.models import get_network
+
+    for nc, should_match in ((1, True), (3, False)):
+        x = rng.uniform(-0.5, 0, (2, nc, 4, 32, 32, 3)).astype(np.float32)
+        if nc > 1:  # make clips clearly distinct so the orders separate
+            x[:, 1] = -0.5
+            x[:, 2] = 0.0
+        embs = []
+        for pool in ("feature", "embedding"):
+            model = get_network(Config(network="r3d_18", head="mlp",
+                                       clip_pool=pool))
+            params, state = jax.jit(model.init)(jax.random.PRNGKey(3))
+            emb, _ = _jit_apply(model, train=False,
+                                compute_dtype=jnp.float32)(
+                params, state, jnp.asarray(x))
+            assert emb.shape == (2, 300)
+            np.testing.assert_allclose(
+                np.linalg.norm(np.asarray(emb), axis=-1), 1.0, atol=1e-5)
+            embs.append(np.asarray(emb))
+        if should_match:
+            np.testing.assert_allclose(embs[0], embs[1], atol=1e-5)
+        else:
+            assert np.abs(embs[0] - embs[1]).max() > 1e-3

@@ -184,9 +184,18 @@ class Experiment:
     def train_one_epoch(self, epoch: int) -> Dict[str, float]:
         cfg = self.config
         table = self.datasets["training"][0]
+        global_bs, local_bs = self.global_bs, self.local_bs
+        if table.loader == "image" and cfg.class_total != 0:
+            # reference halves the image-train batch (dataset.py:26:
+            # `opt.bs // 2 if ... 'image' in opt.dataset ...`) — each SUN
+            # sample inflates to n_clips*clip_len synthetic frames, so the
+            # memory per sample doubles vs a video clip; halved here at
+            # per-device granularity (shardability), same intent
+            global_bs = max(cfg.bs // 2, 1) * self.mesh.shape.get("data", 1)
+            local_bs = global_bs // jax.process_count()
         # each process pipelines only its lockstep-padded table shard
         # (identity when single-process)
-        pipe = HostPipeline(shard_table(table), cfg, self.local_bs,
+        pipe = HostPipeline(shard_table(table), cfg, local_bs,
                             seed=cfg.seed + epoch)
         class_embed = jax.device_put(table.class_embed, replicated(self.mesh))
         new_opt = set_lr(self.state.opt_state, self.lr_at(epoch))
@@ -284,14 +293,14 @@ class Experiment:
                     single_step(sharded)
             maybe_log()
             i += 1
-            if i * self.global_bs > cfg.epoch_sample_cap:  # main.py:208
+            if i * global_bs > cfg.epoch_sample_cap:  # main.py:208
                 break
         with model_t:
             flush_pending()
         maybe_log()
         loss = float(np.mean([float(l) for l in losses])) if losses else 0.0
         acc = float(np.mean([float(a) for a in accs])) if accs else 0.0
-        clips = i * self.global_bs * table.n_clips
+        clips = i * global_bs * table.n_clips
         total_t = batch_t.total + model_t.total
         print(colored(f"Train Accuracy: regressor {acc:2.1f}%", "red"))
         print(

@@ -38,6 +38,10 @@ class Config:
     network: str = "r2plus1d_18"  # r2plus1d_18 | r3d_18 | mc3_18 | c3d | resnet18
     head: str = "mlp"             # 'mlp' = active fork head (network.py:517,595-600)
                                   # 'linear' = upstream paper head (network.py:50-80)
+    clip_pool: str = "feature"    # multi-clip pooling: 'feature' = clip-mean
+                                  # before the head (upstream, network.py:76);
+                                  # 'embedding' = fork-exact per-clip head
+                                  # (network.py:595-600). Identical at n_clips=1.
 
     # ---- paths / run management (reference main.py:49-52) ----
     save_path: str = "./experiments"
@@ -155,6 +159,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--nopretrained", action="store_true", default=False)
     p.add_argument("--network", default=d.network, type=str)
     p.add_argument("--head", default=d.head, type=str, choices=["mlp", "linear"])
+    p.add_argument("--clip_pool", default=d.clip_pool, type=str,
+                   choices=["feature", "embedding"])
     p.add_argument("--save_path", default=d.save_path, type=str)
     p.add_argument("--weights", default=None, type=str)
     p.add_argument("--progressbar", action="store_true", default=True)

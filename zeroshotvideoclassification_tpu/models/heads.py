@@ -10,9 +10,16 @@ Head variants (selected by Config.head / Config.network):
   * C3D      — relu(fc6) -> dropout(0.10) -> clip-mean -> Linear(4096, 300)
                -> L2 normalize (network.py:143-180).
 
-Multi-clip handling: clip-mean is applied to FEATURES before the head (the
-upstream/paper semantics; the fork's MLP head only ever saw n_clips=1 in
-training, where the two orders coincide — see SURVEY.md quirk discussion).
+Multi-clip handling (`clip_pool`):
+  * 'feature' (default) — clip-mean applied to FEATURES before the head (the
+    upstream/paper semantics, network.py:76; the fork's MLP head only ever
+    saw n_clips=1 in training, where the two orders coincide).
+  * 'embedding' — fork-style per-clip head: head + L2-normalize per clip,
+    then mean over clips and re-normalize (network.py:595-600 ran the head on
+    every clip row with no clip-mean anywhere). Identical at n_clips=1,
+    divergent for n_clips>1 — the escape hatch for reproducing fork behavior
+    with multi-clip training/eval. The C3D head always clip-means features
+    (its own documented order, network.py:168-178).
 
 `fixconvs` freezes the backbone via stop_gradient on its outputs — exact
 torch requires_grad=False semantics (BN batch statistics still update in
@@ -47,6 +54,7 @@ class ZeroShotModel:
     head: str         # 'mlp' | 'linear' | 'c3d'
     fixconvs: bool = False
     dropout_rate: float = 0.0
+    clip_pool: str = "feature"  # 'feature' | 'embedding' (see module doc)
 
     def init(self, rng) -> Tuple[Dict, Dict]:
         kb, k1, k2 = jax.random.split(rng, 3)
@@ -91,14 +99,23 @@ class ZeroShotModel:
             feats = feats.reshape(b, nc, -1).mean(axis=1)
             emb = L.linear(feats, hp["regressor"], jnp.float32)
         elif self.head == "linear":
-            feats = pooled.reshape(b, nc, -1).mean(axis=1)
+            feats = self._pool_feats(pooled, b, nc)
             feats = L.dropout(feats, self.dropout_rate, rng, train)
             emb = L.linear(feats, hp["regressor"], jnp.float32)
         else:  # mlp
-            feats = pooled.reshape(b, nc, -1).mean(axis=1)
+            feats = self._pool_feats(pooled, b, nc)
             h = L.relu(L.linear(feats, hp["fc1"], jnp.float32))
             emb = L.linear(h, hp["fc2"], jnp.float32)
+        if self.clip_pool == "embedding" and self.head != "c3d":
+            # fork-style: the head ran per clip; average the unit embeddings
+            # and re-normalize (identical to 'feature' at n_clips=1)
+            emb = L.l2_normalize(emb).reshape(b, nc, -1).mean(axis=1)
         return L.l2_normalize(emb), {"backbone": bb_state}
+
+    def _pool_feats(self, pooled, b, nc):
+        if self.clip_pool == "embedding":
+            return pooled  # keep per-clip rows; pooling happens post-head
+        return pooled.reshape(b, nc, -1).mean(axis=1)
 
 
 def get_network(config) -> ZeroShotModel:
@@ -129,4 +146,5 @@ def get_network(config) -> ZeroShotModel:
         backbone=backbone, head=head,
         fixconvs=bool(getattr(config, "fixconvs", False)),
         dropout_rate=dropout,
+        clip_pool=str(getattr(config, "clip_pool", "feature")),
     )
