@@ -326,3 +326,55 @@ def test_clip_pool_modes(rng):
             np.testing.assert_allclose(embs[0], embs[1], atol=1e-5)
         else:
             assert np.abs(embs[0] - embs[1]).max() > 1e-3
+
+
+def test_stem_s2d_matches_direct_conv(rng):
+    """Space-to-depth stem conv == direct (kd,7,7)/stride-(1,2,2) conv: the
+    weight rearrangement is an exact reassociation (f32 to float tolerance)."""
+    for kd, pd in ((1, 0), (3, 1)):
+        x = jnp.asarray(rng.normal(size=(2, 4, 16, 20, 3)).astype(np.float32))
+        p = {"w": jnp.asarray(
+            rng.normal(size=(kd, 7, 7, 3, 13)).astype(np.float32))}
+        direct = jax.jit(lambda x, p: L.conv3d(
+            x, p, (1, 2, 2), (pd, 3, 3), jnp.float32))(x, p)
+        s2d = jax.jit(lambda x, p: L.stem_conv_s2d(
+            x, p, 1, pd, jnp.float32))(x, p)
+        assert direct.shape == s2d.shape
+        np.testing.assert_allclose(np.asarray(direct), np.asarray(s2d),
+                                   atol=2e-5, rtol=1e-5)
+
+
+def test_stem_s2d_odd_input_falls_back():
+    """Odd spatial sizes take the direct-conv path (shape guard)."""
+    from zeroshotvideoclassification_tpu.models.resnet3d import r3d_18
+    m = r3d_18()
+    params, state = jax.jit(m.init)(jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 4, 15, 17, 3), jnp.float32)
+    pooled, fm, _ = jax.jit(functools.partial(
+        m.apply, train=False, compute_dtype=jnp.float32))(params, state, x)
+    assert pooled.shape == (1, 512)
+
+
+def test_remat_grads_match(rng):
+    """--remat (jax.checkpoint per block) must not change loss or gradients,
+    only the backward memory/flops trade."""
+    import optax
+
+    x = jnp.asarray(rng.uniform(-0.5, 0, (2, 1, 4, 32, 32, 3)).astype(np.float32))
+    z = jnp.asarray(rng.normal(size=(2, 300)).astype(np.float32))
+    grads = []
+    for remat in (False, True):
+        model = get_network(Config(network="r3d_18", head="mlp", remat=remat))
+        params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+
+        def loss(p):
+            emb, _ = model.apply(p, state, x, train=True,
+                                 compute_dtype=jnp.float32)
+            return jnp.mean(jnp.square(emb - z))
+
+        l, g = jax.jit(jax.value_and_grad(loss))(params)
+        grads.append((float(l), g))
+    assert abs(grads[0][0] - grads[1][0]) < 1e-6
+    for a, b in zip(jax.tree.leaves(grads[0][1]), jax.tree.leaves(grads[1][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)

@@ -140,6 +140,8 @@ def get_network(config) -> ZeroShotModel:
         backbone, head = r3d_18(), "linear"
     else:
         raise ValueError(f"Network {name!r} not available!")
+    if getattr(config, "remat", False) and isinstance(backbone, VideoResNet):
+        backbone = dataclasses.replace(backbone, remat=True)
     if head == "linear":
         dropout = 0.05
     return ZeroShotModel(

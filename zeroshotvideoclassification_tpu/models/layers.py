@@ -119,6 +119,49 @@ def conv3d(
     return y
 
 
+def stem_conv_s2d(
+    x: jax.Array,
+    params,
+    stride_d: int = 1,
+    padding_d: int = 0,
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """(kd,7,7)-kernel stem conv with spatial stride 2, computed via 2x2
+    space-to-depth — numerically the SAME sum, reassociated.
+
+    Why: the stem consumes 3-channel input, so the MXU contracts over K=3 of
+    128 lanes (~2% utilization) and the stem family costs ~5.5 ms of the
+    bs16 train step (profiled). Folding 2x2 spatial blocks into channels
+    gives K=12 and turns the strided 7-tap window into a dense 4-tap window:
+
+        out[p] = sum_{k=0..6} x[2p-3+k] w[k]          (pad 3, stride 2)
+               = sum_{j=0..3} sum_{r=0,1} u[p+j-2][r] w[2j+r-1]   (w[-1]=0)
+
+    where u[q][r] = x[2q+r]. Per spatial axis; both axes fold. The weight
+    rearrangement is exact (zero-filled phantom tap), so parameters stay in
+    the canonical [kd,7,7,3,C] layout — checkpoints, porting and oracles are
+    untouched. Requires even H and W (the 112/128-px pipeline always is;
+    callers fall back to the direct conv otherwise)."""
+    w = params["w"].astype(compute_dtype)
+    kd, kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (7, 7) and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0
+    n, t, h, wd, c = x.shape
+    x = x.astype(compute_dtype)
+    # space-to-depth: [N,T,H,W,C] -> [N,T,H/2,W/2,(rh,rw,C)=4C]
+    u = x.reshape(n, t, h // 2, 2, wd // 2, 2, c)
+    u = u.transpose(0, 1, 2, 4, 3, 5, 6).reshape(n, t, h // 2, wd // 2, 4 * c)
+    # weights: wpad[i] = w[i-1] (zero row in front), then fold (tap, phase)
+    wpad = jnp.pad(w, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))  # [kd,8,8,c,o]
+    w2 = wpad.reshape(kd, 4, 2, 4, 2, cin, cout)
+    w2 = w2.transpose(0, 1, 3, 2, 4, 5, 6).reshape(kd, 4, 4, 4 * cin, cout)
+    return jax.lax.conv_general_dilated(
+        u, w2, window_strides=(stride_d, 1, 1),
+        padding=[(padding_d, padding_d), (2, 1), (2, 1)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        precision="highest" if compute_dtype == jnp.float32 else None,
+    )
+
+
 # ------------------------------------------------------------ batchnorm -----
 
 def batchnorm_init(c: int):

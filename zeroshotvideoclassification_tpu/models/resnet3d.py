@@ -153,10 +153,26 @@ def _stem_init(rng, kind: str):
     )
 
 
+def _stem_conv1(params, x, pad_d, dtype):
+    """Stem (kd,7,7)/stride-(1,2,2) conv; space-to-depth path for even H/W
+    (K=3 starves the MXU's 128-lane contraction — see L.stem_conv_s2d)."""
+    import os
+
+    # Measured SLOWER on the v5e chip (1.98 vs 1.14 ms fwd, 3.49 vs 2.24
+    # fwd+bwd at the bs16 stem shape): XLA's conv emitter already packs the
+    # 3-channel contraction efficiently, so the reassociation only adds the
+    # space-to-depth transpose. Kept as an opt-in (ZSVC_STEM_S2D=1) with its
+    # exactness test; same verdict family as ZSVC_CONV_FOLD (see layers.py).
+    if (x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0
+            and os.environ.get("ZSVC_STEM_S2D", "0") == "1"):
+        return L.stem_conv_s2d(x, params["conv1"], 1, pad_d, dtype)
+    return L.conv3d(x, params["conv1"], (1, 2, 2), (pad_d, 3, 3), dtype)
+
+
 def _stem_apply(kind, params, state, x, train, dtype):
     new_state = {}
     if kind == "r2plus1d":
-        y = L.conv3d(x, params["conv1"], (1, 2, 2), (0, 3, 3), dtype)
+        y = _stem_conv1(params, x, 0, dtype)
         y, new_state["bn1"] = L.batchnorm_apply(
             params["bn1"], state["bn1"], y, train, compute_dtype=dtype)
         y = L.relu(y)
@@ -164,7 +180,7 @@ def _stem_apply(kind, params, state, x, train, dtype):
         y, new_state["bn2"] = L.batchnorm_apply(
             params["bn2"], state["bn2"], y, train, compute_dtype=dtype)
         return L.relu(y), new_state
-    y = L.conv3d(x, params["conv1"], (1, 2, 2), (1, 3, 3), dtype)
+    y = _stem_conv1(params, x, 1, dtype)
     y, new_state["bn1"] = L.batchnorm_apply(
         params["bn1"], state["bn1"], y, train, compute_dtype=dtype)
     return L.relu(y), new_state
@@ -183,6 +199,10 @@ class VideoResNet:
     stem: str  # 'basic' | 'r2plus1d'
     layers: Tuple[int, int, int, int] = (2, 2, 2, 2)
     feature_dim: int = 512
+    remat: bool = False  # jax.checkpoint each block: recompute activations
+                         # in backward instead of saving them (trades ~1/3
+                         # more conv FLOPs for O(depth) less live HBM —
+                         # enables larger per-chip batches)
 
     def init(self, rng) -> Tuple[Dict, Dict]:
         keys = jax.random.split(rng, 1 + sum(self.layers))
@@ -210,6 +230,10 @@ class VideoResNet:
                                   featmap [N, T', H', W', 512],
                                   new_state)."""
         new_state = {}
+        block_fn = _block_apply
+        if self.remat:
+            block_fn = jax.checkpoint(
+                _block_apply, static_argnums=(0, 4, 5, 6))
         y, new_state["stem"] = _stem_apply(
             self.stem, params["stem"], state["stem"], x, train, compute_dtype)
         for si, ((planes, stride), nblocks, kind) in enumerate(
@@ -218,7 +242,7 @@ class VideoResNet:
             for bi in range(nblocks):
                 name = f"layer{si + 1}_{bi}"
                 s = stride if bi == 0 else 1
-                y, new_state[name] = _block_apply(
+                y, new_state[name] = block_fn(
                     kind, params[name], state[name], y, s, train, compute_dtype)
         pooled = L.global_avgpool(y)  # fc is skipped, parity: resnet.py:251-256
         return pooled, y, new_state
