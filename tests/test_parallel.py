@@ -196,3 +196,38 @@ def test_fetch_global_identity():
     x = jnp.arange(6.0).reshape(2, 3)
     np.testing.assert_array_equal(fetch_global(x), np.asarray(x))
     np.testing.assert_array_equal(fetch_global(np.ones(3)), np.ones(3))
+
+
+def test_device_batch_global_pallas_shard_map(monkeypatch):
+    """The Pallas resample (default on TPU) must shard over 'data' via
+    shard_map inside device_batch_global — validated here on the 8-device
+    CPU mesh in interpret mode against the XLA gather path."""
+    from jax.experimental import pallas as pl
+
+    import zeroshotvideoclassification_tpu.ops.resample_pallas as rp
+    from zeroshotvideoclassification_tpu.config import Config
+    from zeroshotvideoclassification_tpu.data.datasets import build_datasets
+    from zeroshotvideoclassification_tpu.data.pipeline import (
+        HostPipeline,
+        device_batch_global,
+    )
+
+    orig = pl.pallas_call
+
+    def patched(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(rp.pl, "pallas_call", patched)
+    monkeypatch.setenv("ZSVC_PALLAS_RESAMPLE", "1")
+
+    cfg = Config(dataset="synthetic", class_total=4, train_samples=8,
+                 bs=8, clip_len=2)
+    table = build_datasets(cfg, None)["training"][0]
+    hb = next(iter(HostPipeline(table, cfg, 8, seed=0)))
+    mesh = make_mesh((-1,), ("data",))
+    got = device_batch_global(mesh, hb, table.n_clips, cfg.clip_len)
+    monkeypatch.setenv("ZSVC_PALLAS_RESAMPLE", "0")
+    want = device_batch_global(mesh, hb, table.n_clips, cfg.clip_len)
+    np.testing.assert_allclose(np.asarray(got["x"]), np.asarray(want["x"]),
+                               atol=1e-6)

@@ -14,6 +14,12 @@ the only intrinsic waste is the N=64 lane tile.
 
 Backward uses the straight XLA convolution transpose/wgrad (measured at their
 own walls already) via jax.custom_vjp over a reference lax.conv.
+
+MEASURED VERDICT (v5e, layer1 shape [16,16,56,56,144]->64): this kernel runs
+4.90 ms fwd vs XLA's 1.26 ms — XLA's TPU conv emitter wins (as it also did
+vs shifted-matmul 3x, 2D-folding 3.7x, and space-to-depth 1.7x). Kept as a
+tested reference kernel and as the recorded adjudication; NOT wired into the
+model. See ROADMAP.md "Round-2 single-chip perf adjudication".
 """
 
 from __future__ import annotations
@@ -50,7 +56,8 @@ def _pick_tile(p: int, t: int, ci: int, budget_bytes: int = 1 << 20) -> int:
     """Largest PT dividing p with a [T+2, PT, Ci] bf16 slab under budget
     (double-buffered input + output + f32 accumulator must fit 16 MB VMEM;
     a 4 MB slab OOMed at the layer1 shape)."""
-    for pt in (1024, 784, 512, 448, 392, 256, 196, 128, 112, 64, 49, 32, 16, 8):
+    # Mosaic: the second-to-last block dim must be a multiple of 8
+    for pt in (1024, 784, 512, 448, 392, 256, 128, 112, 64, 32, 16, 8):
         if p % pt == 0 and (t + 2) * pt * ci * 2 <= budget_bytes:
             return pt
     return p
