@@ -97,6 +97,51 @@ def run_bench(bs: int, clip_len: int, size: int, steps: int,
     return clips_per_sec / n_chips, dt / steps, n_chips
 
 
+def run_eval_bench(bs: int, clip_len: int, size: int, steps: int,
+                   network: str, smoke: bool):
+    """Inference (serving) throughput: the jitted eval forward — BN running
+    stats, bf16 — at the multi-clip evaluation shape, clips/s/chip."""
+    import jax
+
+    if smoke:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zeroshotvideoclassification_tpu.config import Config
+    from zeroshotvideoclassification_tpu.models import get_network
+    from zeroshotvideoclassification_tpu.train import create_train_state, \
+        make_optimizer
+
+    config = Config(network=network, head="mlp", bs=bs)
+    model = get_network(config)
+    ts = create_train_state(model, make_optimizer(config.lr),
+                            jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(
+        -0.5, 0, (bs, 1, clip_len, size, size, 3)).astype(np.float32))
+
+    @jax.jit
+    def multi(params, state, x):
+        def body(i, acc):
+            # acc-dependence keeps XLA from hoisting the call out of the loop
+            emb, _ = model.apply(params, state,
+                                 x + (acc * 0).astype(x.dtype), train=False,
+                                 compute_dtype=jnp.float32 if smoke
+                                 else jnp.bfloat16)
+            return acc + emb[0, 0]
+        return jax.lax.fori_loop(0, steps, body, jnp.zeros(()))
+
+    import time
+    float(jax.device_get(multi(ts.params, ts.model_state, x)))
+    t0 = time.perf_counter()
+    float(jax.device_get(multi(ts.params, ts.model_state, x)))
+    dt = (time.perf_counter() - t0) / steps
+    return bs / dt, dt, len(jax.devices())
+
+
 def _make_disk_fixture(root: str, n_videos: int, n_frames: int,
                        hw=(256, 342)) -> None:
     """JPEG frame-dir tree at the canvas shape (the one-resample fast path),
@@ -253,6 +298,8 @@ def main():
     p.add_argument("--network", default="r2plus1d_18")
     p.add_argument("--e2e", action="store_true",
                    help="end-to-end mode: host pipeline -> transform -> step")
+    p.add_argument("--eval", action="store_true",
+                   help="inference mode: jitted eval forward clips/s/chip")
     p.add_argument("--source", default="synthetic",
                    choices=["synthetic", "disk"],
                    help="--e2e input: synthetic render or on-disk JPEG "
@@ -262,6 +309,22 @@ def main():
     args = p.parse_args()
     if args.smoke:
         args.bs, args.clip_len, args.size, args.steps = 2, 4, 32, 2
+
+    if args.eval:
+        value, step_time, n_chips = run_eval_bench(
+            args.bs, args.clip_len, args.size, args.steps,
+            args.network, args.smoke)
+        value /= n_chips
+        print(json.dumps({
+            "metric": f"eval_clips_per_sec_per_chip_{args.network}_bs{args.bs}"
+                      f"_len{args.clip_len}_{args.size}px_bf16",
+            "value": round(value, 2),
+            "unit": "clips/s/chip",
+            "vs_baseline": round(value / V100_REFERENCE_CLIPS_PER_SEC_ESTIMATE, 3),
+        }))
+        print(f"# fwd_time={step_time*1e3:.1f}ms n_chips={n_chips}",
+              file=sys.stderr)
+        return
 
     if args.e2e:
         r = run_e2e(args.bs, args.clip_len, args.size, args.steps,

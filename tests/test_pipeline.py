@@ -266,3 +266,49 @@ def test_overlap_filter_drops_identical_class(tmp_path):
                  class_overlap=0.04)
     ds = build_datasets(cfg, SyntheticWordVectors())
     assert ds["training"][0].classes == ["archery"]
+
+
+def test_kinetics2others_route_with_fixtures(tmp_path):
+    """Full 'others' composition parity (reference get_all_datasets,
+    dataset.py:35-91): ActivityNet embeddings always join the tau filter,
+    but its eval table appears ONLY under --evaluate (first in the list,
+    25 clips/video); training-time testing is UCF+HMDB."""
+    import json as _json
+
+    from zeroshotvideoclassification_tpu.text import SyntheticWordVectors
+
+    root = tmp_path
+    ucf = root / "UCF101" / "frames"
+    (ucf / "v_Basketball_g01_c01" / "images").mkdir(parents=True)
+    hm = root / "HMDB51"
+    (hm / "frames" / "vidA").mkdir(parents=True)
+    (hm / "hmdb51_classes.txt").write_text("climb 0\n")
+    (hm / "hmdb51.json").write_text(_json.dumps(
+        {"database": {"vidA": {"annotations": 0}}}))
+    kin = root / "Kinetics" / "Kinetics-700"
+    (kin / "annotations").mkdir(parents=True)
+    meta = {}
+    # 'surfing' collides with the ActivityNet class -> tau filter must drop it
+    for i, label in enumerate(["archery", "surfing"]):
+        vid = f"vid{i:03d}"
+        (kin / "frames" / vid / "images").mkdir(parents=True)
+        meta[vid] = label
+    (kin / "annotations" / "meta.json").write_text(_json.dumps(meta))
+    clips = root / "ActivityNet" / "v1.3" / "clips"
+    clips.mkdir(parents=True)
+    np.save(clips / "an0_0.npy",
+            np.zeros((12, 32, 40, 3), np.uint8))
+    (clips / "annotations_all.csv").write_text("an0_0,Surfing\n")
+
+    cfg = Config(dataset="kinetics2others", data_root=str(root),
+                 class_overlap=0.04)
+    ds = build_datasets(cfg, SyntheticWordVectors())
+    # training mode: no ActivityNet table, but its embedding filtered 'surfing'
+    assert [t.name for t in ds["testing"]] == ["ucf101", "hmdb51"]
+    assert ds["training"][0].classes == ["archery"]
+
+    ds_eval = build_datasets(cfg.replace(evaluate=True), SyntheticWordVectors())
+    assert [t.name for t in ds_eval["testing"]] == [
+        "ActivityNet", "ucf101", "hmdb51"]
+    assert ds_eval["testing"][0].n_clips == 25  # dataset.py:75 max(5*5, n)
+    assert ds_eval["training"] == []

@@ -211,7 +211,10 @@ def _compose(config, wv_model, with_activitynet: bool):
         config, "ucf101", ucf_f, ucf_l, list(ucf_c), ucf_e, "frame_dir"))
     out["testing"].append(_test_table(
         config, "hmdb51", hm_f, hm_l, list(hm_c), hm_e, "frame_dir"))
-    if with_activitynet and an is not None:
+    # Reference parity (dataset.py:88-91): the 'others' route evaluates on
+    # ActivityNet ONLY under --evaluate (first in the list); during training
+    # its class embeddings still join the tau overlap filter above.
+    if with_activitynet and an is not None and config.evaluate:
         an_f, an_l, an_c, an_e = an
         out["testing"].insert(0, _test_table(
             config, "ActivityNet", an_f, an_l, list(an_c), an_e, "npy"))
