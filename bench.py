@@ -22,7 +22,7 @@ V100_REFERENCE_CLIPS_PER_SEC_ESTIMATE = 120.0
 
 
 def run_bench(bs: int, clip_len: int, size: int, steps: int,
-              network: str, smoke: bool):
+              network: str, smoke: bool, remat=False):
     """Time `steps` full training steps executed inside ONE jitted fori_loop.
 
     The in-graph loop is essential on this harness: the axon device relay is
@@ -50,7 +50,7 @@ def run_bench(bs: int, clip_len: int, size: int, steps: int,
         create_train_state, make_optimizer)
     from zeroshotvideoclassification_tpu.train.step import TrainState, masked_mse
 
-    config = Config(network=network, head="mlp", bs=bs)
+    config = Config(network=network, head="mlp", bs=bs, remat=remat)
     model = get_network(config)
     optimizer = make_optimizer(config.lr)
     ts = create_train_state(model, optimizer, jax.random.PRNGKey(0))
@@ -306,6 +306,9 @@ def main():
                         "frame dirs (native decoder)")
     p.add_argument("--smoke", action="store_true",
                    help="tiny CPU run (CI sanity, meaningless absolute numbers)")
+    p.add_argument("--remat", nargs="?", const="full", default=False,
+                   choices=["full", "convs"],
+                   help="rematerialization A/B (train mode only)")
     args = p.parse_args()
     if args.smoke:
         args.bs, args.clip_len, args.size, args.steps = 2, 4, 32, 2
@@ -345,10 +348,11 @@ def main():
 
     value, step_time, n_chips = run_bench(
         args.bs, args.clip_len, args.size, args.steps,
-        args.network, args.smoke)
+        args.network, args.smoke, remat=args.remat)
+    suffix = f"_remat_{args.remat}" if args.remat else ""
     print(json.dumps({
         "metric": f"train_clips_per_sec_per_chip_{args.network}_bs{args.bs}"
-                  f"_len{args.clip_len}_{args.size}px_bf16",
+                  f"_len{args.clip_len}_{args.size}px_bf16{suffix}",
         "value": round(value, 2),
         "unit": "clips/s/chip",
         "vs_baseline": round(value / V100_REFERENCE_CLIPS_PER_SEC_ESTIMATE, 3),

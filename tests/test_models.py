@@ -363,7 +363,7 @@ def test_remat_grads_match(rng):
     x = jnp.asarray(rng.uniform(-0.5, 0, (2, 1, 4, 32, 32, 3)).astype(np.float32))
     z = jnp.asarray(rng.normal(size=(2, 300)).astype(np.float32))
     grads = []
-    for remat in (False, True):
+    for remat in (False, True, "convs"):
         model = get_network(Config(network="r3d_18", head="mlp", remat=remat))
         params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
 
@@ -374,7 +374,8 @@ def test_remat_grads_match(rng):
 
         l, g = jax.jit(jax.value_and_grad(loss))(params)
         grads.append((float(l), g))
-    assert abs(grads[0][0] - grads[1][0]) < 1e-6
-    for a, b in zip(jax.tree.leaves(grads[0][1]), jax.tree.leaves(grads[1][1])):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=1e-5, rtol=1e-4)
+    for l, g in grads[1:]:
+        assert abs(grads[0][0] - l) < 1e-6
+        for a, b in zip(jax.tree.leaves(grads[0][1]), jax.tree.leaves(g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-4)

@@ -66,10 +66,13 @@ class Config:
     prefetch_depth: int = 2           # host->device pipeline depth
     steps_per_call: int = 1           # train steps fused into one dispatch
                                       # (lax.scan over stacked batches)
-    remat: bool = False               # jax.checkpoint each backbone block:
-                                      # recompute activations in backward
-                                      # (bigger per-chip batches for ~1/3
-                                      # more conv FLOPs)
+    remat: object = False             # jax.checkpoint the backbone blocks.
+                                      # True/"full": recompute everything in
+                                      # backward (bigger per-chip batches for
+                                      # ~1/3 more conv FLOPs). "convs": save
+                                      # conv outputs only, recompute BN/ReLU
+                                      # (no extra conv FLOPs, less saved-
+                                      # activation HBM traffic)
     decode_workers: int = 0           # 0 = os.cpu_count()
     canvas_hw: Tuple[int, int] = (256, 342)  # host uint8 canvas (static shape)
     epoch_sample_cap: int = 100_000   # reference caps train epoch (main.py:208)
@@ -181,7 +184,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--word2vec_path", default=d.word2vec_path, type=str)
     p.add_argument("--decode_workers", default=d.decode_workers, type=int)
     p.add_argument("--steps_per_call", default=d.steps_per_call, type=int)
-    p.add_argument("--remat", action="store_true", default=False)
+    p.add_argument("--remat", nargs="?", const="full", default=False,
+                   choices=["full", "convs"])
     p.add_argument("--save_samples", action="store_true", default=False)
     p.add_argument("--profile_dir", default=d.profile_dir, type=str)
     return p

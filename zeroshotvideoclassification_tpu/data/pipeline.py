@@ -417,8 +417,18 @@ def device_batch_global(mesh, host_batch: HostBatch, n_clips: int,
             jnp.asarray(CH_SCALE), jnp.asarray(CH_OFFSET), **kw)
     else:
         if _use_pallas_resample():
-            from jax.experimental.shard_map import shard_map
             from jax.sharding import PartitionSpec as P
+
+            import functools as _ft
+
+            try:
+                from jax import shard_map as _sm
+
+                shard_map = _ft.partial(_sm, check_vma=False)
+            except ImportError:  # pre-0.8 jax
+                from jax.experimental.shard_map import shard_map as _sm
+
+                shard_map = _ft.partial(_sm, check_rep=False)
 
             from zeroshotvideoclassification_tpu.ops.resample_pallas import (
                 fused_video_transform_pallas,
@@ -430,8 +440,7 @@ def device_batch_global(mesh, host_batch: HostBatch, n_clips: int,
             # axis shards it exactly like the gather version.
             fn = shard_map(
                 lambda *a: fused_video_transform_pallas(*a, **kw),
-                mesh=mesh, in_specs=(P("data"),) * 7, out_specs=P("data"),
-                check_rep=False)
+                mesh=mesh, in_specs=(P("data"),) * 7, out_specs=P("data"))
             x = fn(g["canvas"], g["y0"], g["y1"], g["wy"], g["x0"], g["x1"],
                    g["wx"])
         else:

@@ -140,8 +140,10 @@ def get_network(config) -> ZeroShotModel:
         backbone, head = r3d_18(), "linear"
     else:
         raise ValueError(f"Network {name!r} not available!")
-    if getattr(config, "remat", False) and isinstance(backbone, VideoResNet):
-        backbone = dataclasses.replace(backbone, remat=True)
+    remat = getattr(config, "remat", False)
+    if remat and isinstance(backbone, VideoResNet):
+        backbone = dataclasses.replace(
+            backbone, remat="convs" if remat == "convs" else "full")
     if head == "linear":
         dropout = 0.05
     return ZeroShotModel(

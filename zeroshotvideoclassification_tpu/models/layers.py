@@ -20,6 +20,7 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 
 # ----------------------------------------------------------------- init -----
@@ -116,7 +117,10 @@ def conv3d(
         )
     if "b" in params:
         y = y + params["b"].astype(compute_dtype)
-    return y
+    # Tag for remat policies: under --remat convs the blocks save ONLY these
+    # (the expensive MXU results) and recompute BN/ReLU chains in backward,
+    # halving saved-activation HBM traffic. A no-op outside jax.checkpoint.
+    return checkpoint_name(y, "conv_out")
 
 
 def stem_conv_s2d(

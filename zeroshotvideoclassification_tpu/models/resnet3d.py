@@ -199,10 +199,14 @@ class VideoResNet:
     stem: str  # 'basic' | 'r2plus1d'
     layers: Tuple[int, int, int, int] = (2, 2, 2, 2)
     feature_dim: int = 512
-    remat: bool = False  # jax.checkpoint each block: recompute activations
-                         # in backward instead of saving them (trades ~1/3
-                         # more conv FLOPs for O(depth) less live HBM —
-                         # enables larger per-chip batches)
+    # Rematerialization of the blocks (jax.checkpoint). False: save every
+    # intermediate (XLA default). True / "full": save only block inputs,
+    # recompute everything in backward (~1/3 more conv FLOPs, O(depth) less
+    # live HBM — enables larger per-chip batches). "convs": save the conv
+    # (MXU) outputs but recompute the BN/ReLU elementwise chains — no conv
+    # recompute, halves the saved-activation HBM traffic the backward
+    # fusions read (the profiled bandwidth wall, see ROADMAP).
+    remat: object = False
 
     def init(self, rng) -> Tuple[Dict, Dict]:
         keys = jax.random.split(rng, 1 + sum(self.layers))
@@ -232,8 +236,12 @@ class VideoResNet:
         new_state = {}
         block_fn = _block_apply
         if self.remat:
+            policy = None
+            if self.remat == "convs":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "conv_out")
             block_fn = jax.checkpoint(
-                _block_apply, static_argnums=(0, 4, 5, 6))
+                _block_apply, static_argnums=(0, 4, 5, 6), policy=policy)
         y, new_state["stem"] = _stem_apply(
             self.stem, params["stem"], state["stem"], x, train, compute_dtype)
         for si, ((planes, stride), nblocks, kind) in enumerate(
