@@ -163,3 +163,30 @@ def test_sun2both_route_end_to_end(tmp_path):
     n_data = exp.mesh.shape.get("data", 1)
     pipe_bs = max(cfg.bs // 2, 1) * n_data // jax.process_count()
     assert pipe_bs == 2 * n_data
+
+
+def test_periodic_checkpoint_and_auto_resume(tmp_path):
+    """Preemption recovery: --checkpoint_every writes <run>/last.npz each N
+    epochs; --resume auto picks up the newest full-state checkpoint and
+    REUSES the run dir (no _N dedup fork). A fresh dir with --resume auto
+    falls through to a normal fresh run."""
+    _run(tmp_path, extra=["--checkpoint_every", "1"])
+    lasts = glob.glob(str(tmp_path / "**" / "last.npz"), recursive=True)
+    assert lasts, "periodic checkpoint must be written"
+    run_dir = os.path.dirname(lasts[0])
+    n_dirs = len(os.listdir(os.path.dirname(run_dir)))
+
+    summary2 = _run(tmp_path, extra=["--resume", "auto", "--n_epochs", "2",
+                                     "--checkpoint_every", "1"])
+    assert "best_accuracy" in summary2
+    # same run dir continued: no new dedup dir, and last.npz advanced to
+    # the resumed epoch
+    assert len(os.listdir(os.path.dirname(run_dir))) == n_dirs
+    from zeroshotvideoclassification_tpu.train.checkpoint import read_meta
+
+    assert int(read_meta(lasts[0]).get("epoch", -1)) == 1
+
+    # fresh savename + --resume auto = fresh run (no checkpoint to pick up)
+    fresh = tmp_path / "fresh"
+    summary3 = _run(fresh, extra=["--resume", "auto"])
+    assert "loss" in summary3

@@ -4,6 +4,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from zeroshotvideoclassification_tpu.config import Config, config_from_args
 from zeroshotvideoclassification_tpu.utils.gif import batch2gif, inverse_transform
@@ -98,3 +99,26 @@ def test_device_trace_writes_profile(tmp_path):
     with device_trace(str(tmp_path)):
         jax.device_get(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
     assert glob.glob(str(tmp_path / "plugins" / "profile" / "*" / "*"))
+
+
+def test_gif_inverse_meanstd_scheme():
+    """The SUN/upstream mean-std scheme must round-trip too (SURVEY quirk #5:
+    the reference's inverse assumed the DISABLED scheme; ours handles both)."""
+    from zeroshotvideoclassification_tpu.data.stillimages import (
+        KINETICS_MEAN,
+        KINETICS_STD,
+    )
+
+    src = np.random.default_rng(0).integers(0, 256, (3, 6, 7, 3), np.uint8)
+    meanstd = (src.astype(np.float32) / 255.0 - KINETICS_MEAN) / KINETICS_STD
+    np.testing.assert_array_equal(inverse_transform(meanstd, "meanstd"), src)
+    with pytest.raises(ValueError):
+        inverse_transform(meanstd, "nope")
+
+
+def test_batch2gif_readback(tmp_path, rng):
+    imageio = pytest.importorskip("imageio")
+    frames = rng.uniform(-0.5, 0, (4, 8, 8, 3)).astype(np.float32)
+    path = batch2gif(frames, 0, str(tmp_path) + "/ep0_", classes=["a"])
+    back = imageio.mimread(path)
+    assert len(back) == 4 and back[0].shape[:2] == (8, 8)

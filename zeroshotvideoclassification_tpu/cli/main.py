@@ -63,6 +63,21 @@ def _dtype(config: Config):
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[config.compute_dtype]
 
 
+def _find_latest_checkpoint(base: str):
+    """Newest full-state checkpoint for --resume auto: last.npz (periodic)
+    or checkpoint.npz (best-by-accuracy) under the base savename or any of
+    its _N dedup dirs; None if the run never checkpointed."""
+    import glob as _glob
+
+    candidates = []
+    for d in [base] + sorted(_glob.glob(base + "_*")):
+        for name in ("last.npz", "checkpoint.npz"):
+            p = os.path.join(d, name)
+            if os.path.exists(p):
+                candidates.append((os.path.getmtime(p), p))
+    return max(candidates)[1] if candidates else None
+
+
 class Experiment:
     """Bundles model, state, steps, mesh, logging for one run."""
 
@@ -90,6 +105,14 @@ class Experiment:
             self.model, self.optimizer, jax.random.PRNGKey(config.seed))
         self.start_epoch = 0
         base = config.savename(n_data)
+        if config.resume == "auto":
+            # preemption recovery: pick up the newest full-state checkpoint
+            # under this run's savename (incl. _N dedup dirs); fresh run if
+            # none exists yet
+            found = _find_latest_checkpoint(base)
+            config = dataclasses.replace(config, resume=found)
+            self.config = config
+            print(f"RESUME auto: {found or 'no checkpoint found, fresh run'}")
         if config.resume:
             from zeroshotvideoclassification_tpu.train import load_checkpoint
 
@@ -412,6 +435,15 @@ class Experiment:
                     jax.device_get(self.state), epoch, mean_acc,
                     cfg.to_json())
                 self.best_acc = mean_acc
+            if (cfg.checkpoint_every and not cfg.evaluate
+                    and (epoch + 1) % cfg.checkpoint_every == 0):
+                # periodic full-state checkpoint for preemption recovery
+                # (--resume auto); the reference's best-only policy loses
+                # everything between accuracy improvements
+                save_checkpoint(
+                    os.path.join(self.savename, "last.npz"),
+                    jax.device_get(self.state), epoch, self.best_acc,
+                    cfg.to_json())
             epoch_times.append(time.time() - t0)
             print("----- Epoch %d done in %.2f min. Best accuracy %.1f"
                   % (epoch, epoch_times[-1] / 60, self.best_acc))

@@ -18,7 +18,11 @@ from typing import Optional, Tuple
 @dataclasses.dataclass(frozen=True)
 class Config:
     # ---- data / task (reference main.py:24-33) ----
-    split: int = -1               # -1 => 10-seeded-half-split eval protocol
+    split: int = -1               # -1 => 10-seeded-half-split eval protocol;
+                                  # >= 0 only tags the savename (split%d), the
+                                  # reference's exact semantics (its split>=0
+                                  # path also trains on the full class set and
+                                  # merely names the run, main.py:85,284)
     dataset: str = "kinetics2oboth"
     train_samples: int = -1       # linspace-subsample train set (debugging)
     class_total: int = -1         # linspace-subsample train classes (debugging)
@@ -49,7 +53,16 @@ class Config:
     progressbar: bool = True
     evaluate: bool = False        # eval-only mode (25 clips/video)
     resume: Optional[str] = None  # full-state resume (params+opt+step+epoch);
-                                  # the reference could only warm-start weights
+                                  # the reference could only warm-start weights.
+                                  # 'auto' = resume the newest last.npz /
+                                  # checkpoint.npz under this run's savename
+                                  # (preemption recovery; fresh run if none)
+    checkpoint_every: int = 0     # write <run>/last.npz every N epochs
+                                  # (independent of the best-by-accuracy
+                                  # checkpoint; 0 = off). Production TPU jobs
+                                  # are preemptible; best-only checkpointing
+                                  # (the reference's policy) loses all
+                                  # progress between accuracy improvements
     debug_nans: bool = False      # jax_debug_nans mode (GradScaler-analog
                                   # diagnostics; see SURVEY §5)
 
@@ -174,7 +187,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--evaluate", action="store_true", default=False)
     p.add_argument("--resume", default=None, type=str,
                    help="checkpoint.npz to fully resume from (opt state, "
-                        "step and epoch included)")
+                        "step and epoch included), or 'auto' to pick up the "
+                        "newest checkpoint under this run's savename")
+    p.add_argument("--checkpoint_every", default=d.checkpoint_every, type=int,
+                   help="write <run>/last.npz every N epochs (preemption "
+                        "recovery; 0 = best-by-accuracy only)")
     p.add_argument("--debug_nans", action="store_true", default=False)
     # TPU extras
     p.add_argument("--compute_dtype", default=d.compute_dtype, type=str)

@@ -91,6 +91,12 @@ def save_checkpoint(
             os.unlink(tmp)
 
 
+def read_meta(path: str) -> Dict:
+    """Checkpoint metadata (epoch, accuracy, config) without loading tensors."""
+    with np.load(path, allow_pickle=False) as data:
+        return json.loads(str(data["__meta__"]))
+
+
 def load_checkpoint(
     path: str,
     train_state,
