@@ -42,3 +42,34 @@ def test_pallas_validation_and_flip(interpret_pallas, rng):
     a = np.asarray(fused_video_transform(canvas, *idx.astuple()))
     b = np.asarray(rp.fused_video_transform_pallas(canvas, *idx.astuple()))
     np.testing.assert_allclose(b, a, atol=1e-6)
+
+
+def test_pallas_image_motion_matches_xla_gather(interpret_pallas, rng):
+    """The MXU image-motion kernel (SUN camera-motion inflation) must match
+    the XLA gather version, including the per-channel mean/std affine."""
+    import jax.numpy as jnp
+
+    from zeroshotvideoclassification_tpu.data.stillimages import (
+        CH_OFFSET,
+        CH_SCALE,
+        camera_motion_trajectory,
+        motion_resample_indices,
+    )
+    from zeroshotvideoclassification_tpu.ops.resample import (
+        fused_image_motion_transform,
+    )
+
+    imgs = rng.integers(0, 256, (2, 180, 220, 3), dtype=np.uint8)
+    t, s = 4, 112
+    idx = []
+    for b in range(2):
+        traj = camera_motion_trajectory((180, 220), s, t, rng)
+        idx.append(motion_resample_indices(traj, (180, 220), s))
+    stacked = [np.stack([idx[b][k] for b in range(2)]) for k in range(6)]
+    a = np.asarray(fused_image_motion_transform(
+        imgs, *stacked, jnp.asarray(CH_SCALE), jnp.asarray(CH_OFFSET)))
+    b = np.asarray(rp.fused_image_motion_transform_pallas(
+        imgs, *stacked, ch_scale=tuple(map(float, CH_SCALE)),
+        ch_offset=tuple(map(float, CH_OFFSET))))
+    assert b.shape == (2, t, s, s, 3)
+    np.testing.assert_allclose(b, a, atol=1e-5)

@@ -280,6 +280,9 @@ class Experiment:
             if len(losses) - last_logged >= cfg.log_every:
                 step = int(jax.device_get(self.state.step))
                 self.log.scalar("Train/Loss", float(losses[-1]), step)
+                # tag parity with main_02.py:338 (there embed_loss == loss;
+                # the GAN/caption losses it distinguished are dead code)
+                self.log.scalar("Train/EmbeddingLoss", float(losses[-1]), step)
                 self.log.scalar("Train/RegressorAccuracy", float(accs[-1]), step)
                 last_logged = len(losses)
 

@@ -338,6 +338,33 @@ def _use_pallas_resample() -> bool:
         return False
 
 
+def _use_pallas_image_motion() -> bool:
+    """Adjudicated on-chip (scripts/ab_image_motion.py, v5e, bs11 x 16 frames
+    of a 256x342 image): XLA gather 1.79 ms vs Pallas MXU 2.29 ms (0.78x) —
+    unlike the video case, all T frames crop the SAME source image, which the
+    gather formulation reads once from HBM while the Pallas grid re-streams
+    the padded image block every (sample, frame) cell. Default: XLA gather;
+    ZSVC_PALLAS_IMAGE_MOTION=1 opts into the kernel (agreement 9.5e-7)."""
+    import os
+
+    return os.environ.get("ZSVC_PALLAS_IMAGE_MOTION") == "1"
+
+
+def _shard_map_nocheck():
+    """jax.shard_map with replication checking off (a pallas_call body is
+    opaque to the checker), across the 0.8 API rename."""
+    import functools
+
+    try:
+        from jax import shard_map
+
+        return functools.partial(shard_map, check_vma=False)
+    except ImportError:  # pre-0.8 jax
+        from jax.experimental.shard_map import shard_map
+
+        return functools.partial(shard_map, check_rep=False)
+
+
 def device_batch(host_batch: HostBatch, n_clips: int, clip_len: int,
                  out_dtype=None) -> Dict:
     """Run the fused transform and shape the model input.
@@ -356,13 +383,24 @@ def device_batch(host_batch: HostBatch, n_clips: int, clip_len: int,
             CH_OFFSET,
             CH_SCALE,
         )
-        from zeroshotvideoclassification_tpu.ops.resample import (
-            fused_image_motion_transform,
-        )
 
-        x = fused_image_motion_transform(
-            *host_batch.resample_args(),
-            jnp.asarray(CH_SCALE), jnp.asarray(CH_OFFSET), **kw)
+        if _use_pallas_image_motion():
+            from zeroshotvideoclassification_tpu.ops.resample_pallas import (
+                fused_image_motion_transform_pallas,
+            )
+
+            x = fused_image_motion_transform_pallas(
+                *host_batch.resample_args(),
+                ch_scale=tuple(map(float, CH_SCALE)),
+                ch_offset=tuple(map(float, CH_OFFSET)), **kw)
+        else:
+            from zeroshotvideoclassification_tpu.ops.resample import (
+                fused_image_motion_transform,
+            )
+
+            x = fused_image_motion_transform(
+                *host_batch.resample_args(),
+                jnp.asarray(CH_SCALE), jnp.asarray(CH_OFFSET), **kw)
     else:
         if _use_pallas_resample():
             from zeroshotvideoclassification_tpu.ops.resample_pallas import (
@@ -408,27 +446,34 @@ def device_batch_global(mesh, host_batch: HostBatch, n_clips: int,
             CH_OFFSET,
             CH_SCALE,
         )
-        from zeroshotvideoclassification_tpu.ops.resample import (
-            fused_image_motion_transform,
-        )
 
-        x = fused_image_motion_transform(
-            g["canvas"], g["y0"], g["y1"], g["wy"], g["x0"], g["x1"], g["wx"],
-            jnp.asarray(CH_SCALE), jnp.asarray(CH_OFFSET), **kw)
+        if _use_pallas_image_motion():
+            from jax.sharding import PartitionSpec as P
+
+            from zeroshotvideoclassification_tpu.ops.resample_pallas import (
+                fused_image_motion_transform_pallas,
+            )
+
+            # same shard_map rationale as the video kernel below
+            sm = _shard_map_nocheck()
+            fn = sm(
+                lambda *a: fused_image_motion_transform_pallas(
+                    *a, ch_scale=tuple(map(float, CH_SCALE)),
+                    ch_offset=tuple(map(float, CH_OFFSET)), **kw),
+                mesh=mesh, in_specs=(P("data"),) * 7, out_specs=P("data"))
+            x = fn(g["canvas"], g["y0"], g["y1"], g["wy"], g["x0"], g["x1"],
+                   g["wx"])
+        else:
+            from zeroshotvideoclassification_tpu.ops.resample import (
+                fused_image_motion_transform,
+            )
+
+            x = fused_image_motion_transform(
+                g["canvas"], g["y0"], g["y1"], g["wy"], g["x0"], g["x1"],
+                g["wx"], jnp.asarray(CH_SCALE), jnp.asarray(CH_OFFSET), **kw)
     else:
         if _use_pallas_resample():
             from jax.sharding import PartitionSpec as P
-
-            import functools as _ft
-
-            try:
-                from jax import shard_map as _sm
-
-                shard_map = _ft.partial(_sm, check_vma=False)
-            except ImportError:  # pre-0.8 jax
-                from jax.experimental.shard_map import shard_map as _sm
-
-                shard_map = _ft.partial(_sm, check_rep=False)
 
             from zeroshotvideoclassification_tpu.ops.resample_pallas import (
                 fused_video_transform_pallas,
@@ -438,7 +483,7 @@ def device_batch_global(mesh, host_batch: HostBatch, n_clips: int,
             # shard_map, sharded operands would be all-gathered around it.
             # The transform is per-sample, so mapping it over the 'data'
             # axis shards it exactly like the gather version.
-            fn = shard_map(
+            fn = _shard_map_nocheck()(
                 lambda *a: fused_video_transform_pallas(*a, **kw),
                 mesh=mesh, in_specs=(P("data"),) * 7, out_specs=P("data"))
             x = fn(g["canvas"], g["y0"], g["y1"], g["wy"], g["x0"], g["x1"],

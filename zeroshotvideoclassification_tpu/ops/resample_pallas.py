@@ -35,8 +35,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(canvas_ref, y0r, y1r, wyr, x0r, x1r, wxr, out_ref):
-    # canvas_ref: [C, Hc, Wc] uint8 (one frame); y0r...: [S]; out: [C, S, S]
+def _kernel(canvas_ref, y0r, y1r, wyr, x0r, x1r, wxr, out_ref, affine=None):
+    # canvas_ref: [C, Hc, Wc] uint8 (one frame); y0r...: [S]; out: [C, S, S].
+    # affine: None -> the video chain's exact ((v/255)-1)/2 expression
+    # (kept verbatim so bitwise agreement with ops.resample holds);
+    # otherwise static per-channel (scale, offset) tuples -> v*scale+offset
+    # (the SUN mean/std scheme).
     c, hc, wc = canvas_ref.shape
     s = y0r.shape[0]
 
@@ -59,7 +63,11 @@ def _kernel(canvas_ref, y0r, y1r, wyr, x0r, x1r, wxr, out_ref):
                        precision=jax.lax.Precision.HIGHEST)
         out = jnp.dot(rows, cmat.T, preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
-        out_ref[ch] = ((out / 255.0) - 1.0) / 2.0
+        if affine is None:
+            out_ref[ch] = ((out / 255.0) - 1.0) / 2.0
+        else:
+            scale, offset = affine
+            out_ref[ch] = out * scale[ch] + offset[ch]
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype",))
@@ -113,6 +121,68 @@ def fused_video_transform_pallas(
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, t, c, sp, sp), jnp.float32),
     )(canvas_p, pad(y0), pad(y1), pad(wy.astype(jnp.float32)),
+      pad(x0), pad(x1), pad(wx.astype(jnp.float32)))
+    out = out[:, :, :, :s, :s]
+    return jnp.transpose(out, (0, 1, 3, 4, 2)).astype(out_dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ch_scale", "ch_offset", "out_dtype"))
+def fused_image_motion_transform_pallas(
+    images: jax.Array,  # uint8 [B, Hc, Wc, C] — ONE still image per sample
+    y0: jax.Array, y1: jax.Array, wy: jax.Array,   # [B, T, S] per-FRAME
+    x0: jax.Array, x1: jax.Array, wx: jax.Array,
+    ch_scale=(1.0, 1.0, 1.0),   # STATIC per-channel affine (hash-stable
+    ch_offset=(0.0, 0.0, 0.0),  # python tuples, not traced arrays)
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """MXU variant of ops.resample.fused_image_motion_transform: the SUN
+    camera-motion inflation (T crop boxes of one image, each bilinearly
+    resized; /root/reference/auxiliary/auxiliary_stillimages.py:92-138).
+
+    Same rewrite as the video kernel — per (frame, channel) plane the
+    separable bilinear gather becomes two interpolation-matrix products —
+    but the source image block is REUSED across the T grid steps (the crop
+    trajectory only changes the tiny index vectors), so HBM reads the
+    canvas once per sample instead of materializing the [B, T, S, Wc, C]
+    row-interpolated intermediate the XLA gather version writes."""
+    b, hc, wc, c = images.shape
+    t, s = y0.shape[1], y0.shape[2]
+    images_p = jnp.transpose(images, (0, 3, 1, 2))  # [B, C, Hc, Wc]
+    hcp = ((hc + 7) // 8) * 8
+    wcp = ((wc + 127) // 128) * 128
+    if (hcp, wcp) != (hc, wc):
+        images_p = jnp.pad(
+            images_p, ((0, 0), (0, 0), (0, hcp - hc), (0, wcp - wc)))
+    hc, wc = hcp, wcp
+    sp = ((s + 127) // 128) * 128
+
+    def pad(a):
+        return jnp.pad(a, ((0, 0), (0, 0), (0, sp - s)))
+
+    image_spec = pl.BlockSpec(
+        (1, c, hc, wc), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    idx_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (1, 1, c, sp, sp), lambda i, j: (i, j, 0, 0, 0),
+        memory_space=pltpu.VMEM)
+    affine = (tuple(float(v) for v in ch_scale),
+              tuple(float(v) for v in ch_offset))
+
+    def kernel(img_ref, y0r, y1r, wyr, x0r, x1r, wxr, out_ref):
+        bi, ti = pl.program_id(0), pl.program_id(1)
+        _kernel(
+            img_ref.at[0], y0r.at[bi, ti], y1r.at[bi, ti], wyr.at[bi, ti],
+            x0r.at[bi, ti], x1r.at[bi, ti], wxr.at[bi, ti],
+            out_ref.at[0, 0], affine=affine)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, t),
+        in_specs=[image_spec] + [idx_spec] * 6,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, c, sp, sp), jnp.float32),
+    )(images_p, pad(y0), pad(y1), pad(wy.astype(jnp.float32)),
       pad(x0), pad(x1), pad(wx.astype(jnp.float32)))
     out = out[:, :, :, :s, :s]
     return jnp.transpose(out, (0, 1, 3, 4, 2)).astype(out_dtype)
