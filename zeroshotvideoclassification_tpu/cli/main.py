@@ -347,10 +347,21 @@ class Experiment:
         n_data = self.mesh.shape.get("data", 1)
         pc = jax.process_count()
         eval_bs = max(self.global_bs // max(table.n_clips, 1), 1)
+        # floor the CLIP count per device dispatch: the reference scales
+        # videos/batch down by clips/video purely for GPU memory
+        # (dataset.py:75,131), but the bf16 forward amortizes strongly with
+        # batch on TPU (measured 969 -> 1431 clips/s/chip from bs16 to
+        # bs128, ROADMAP "serving batch scaling") and eval numerics are
+        # per-sample (running-stat BN), so a bigger batch only changes the
+        # zero-weight tail padding
+        want_clips = cfg.eval_clip_budget * n_data
+        eval_bs = max(eval_bs,
+                      (want_clips + table.n_clips - 1) // max(table.n_clips, 1))
         # round up to a multiple of lcm(n_data, process_count) so eval batches
         # both shard evenly and split evenly across processes
         mult = n_data * pc // np.gcd(n_data, pc)
         eval_bs = ((eval_bs + mult - 1) // mult) * mult
+        eval_bs = min(eval_bs, ((len(table) + mult - 1) // mult) * mult)
         pipe = HostPipeline(shard_table(table), cfg, eval_bs // pc,
                             seed=cfg.seed)
         from zeroshotvideoclassification_tpu.eval import extract_embeddings

@@ -93,6 +93,11 @@ class Config:
                                       # --evaluate on the 'both' route
     eval_n_clips_others: int = 25     # dataset.py:75: max(5*5, n_clips) under
                                       # --evaluate on the kinetics2others route
+    eval_clip_budget: int = 128       # min CLIPS per device per eval dispatch
+                                      # (the serving forward amortizes with
+                                      # batch — measured 969 -> 1431 clips/s
+                                      # from bs16 to bs128; numerics are
+                                      # per-sample so only padding changes)
     log_every: int = 10
     keep_bn_fp32: bool = True
     save_samples: bool = False        # dump one input clip as GIF per epoch
