@@ -190,3 +190,26 @@ def test_periodic_checkpoint_and_auto_resume(tmp_path):
     fresh = tmp_path / "fresh"
     summary3 = _run(fresh, extra=["--resume", "auto"])
     assert "loss" in summary3
+
+
+def test_eval_batch_size():
+    from zeroshotvideoclassification_tpu.cli.main import eval_batch_size
+
+    # reference semantics floor: global_bs // n_clips, before the clip-budget
+    # floor kicks in the result is at least that (dataset.py:75,131)
+    # big table, 1 clip/video, budget 128, 1 device: floor at 128 clips
+    assert eval_batch_size(16, 1, 1, 1, 10_000, 128) == 128
+    # 25 clips/video: ceil(128/25) = 6 videos -> >= 128 clips per dispatch
+    bs = eval_batch_size(16, 25, 1, 1, 10_000, 128)
+    assert bs * 25 >= 128 and bs == 6
+    # 8-way data mesh wants 8*128 clips and a multiple of 8 videos
+    bs = eval_batch_size(16, 25, 8, 1, 10_000, 128)
+    assert bs % 8 == 0 and bs * 25 >= 8 * 128
+    # tiny table: capped at table size rounded up to the shard multiple
+    assert eval_batch_size(16, 1, 8, 1, 10, 128) == 16
+    assert eval_batch_size(16, 1, 1, 1, 3, 128) == 3
+    # process_count divides the global batch evenly too (lcm rounding)
+    bs = eval_batch_size(16, 1, 8, 2, 10_000, 128)
+    assert bs % 8 == 0 and bs % 2 == 0 and bs >= 8 * 128
+    # without the budget (0) the reference scale-down survives unchanged
+    assert eval_batch_size(100, 25, 1, 1, 10_000, 0) == 4

@@ -231,3 +231,61 @@ def test_device_batch_global_pallas_shard_map(monkeypatch):
     want = device_batch_global(mesh, hb, table.n_clips, cfg.clip_len)
     np.testing.assert_allclose(np.asarray(got["x"]), np.asarray(want["x"]),
                                atol=1e-6)
+
+
+def test_two_process_distributed(tmp_path):
+    """REAL multi-process validation of parallel/multihost.py: two OS
+    processes under jax.distributed (gloo CPU collectives), 2 virtual
+    devices each -> one 4-device global mesh. The jitted gradient below
+    reduces ACROSS the process boundary — the same machinery a multi-host
+    DCN job uses (SURVEY §2.3; the reference has no multi-node story at
+    all, so this is capability the rebuild adds)."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    coord = f"127.0.0.1:{s.getsockname()[1]}"
+    s.close()
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    repo_root = os.path.dirname(os.path.dirname(__file__))
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        PYTHONPATH=os.pathsep.join(
+            [repo_root, os.environ.get("PYTHONPATH", "")]).rstrip(os.pathsep),
+    )
+    procs, outs = [], []
+    for pid in range(2):
+        out = tmp_path / f"p{pid}.json"
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, worker, coord, str(pid), str(out)],
+            env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    logs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log.decode()
+
+    r0, r1 = [json.loads(o.read_text()) for o in outs]
+    full = np.arange(24, dtype=np.float32).reshape(8, 3)
+    xw = full @ np.ones(3)
+    exp_loss = float(np.mean(xw**2))
+    exp_grad = (2.0 / 8.0) * full.T @ xw
+    for r in (r0, r1):
+        assert r["process_count"] == 2 and r["device_count"] == 4
+        assert r["local_devices"] == 2
+        np.testing.assert_allclose(r["loss"], exp_loss, rtol=1e-6)
+        np.testing.assert_allclose(r["grad"], exp_grad, rtol=1e-6)
+        np.testing.assert_allclose(r["x_roundtrip"], full)
+    # disjoint contiguous shards; lockstep padding marks the tail row -1
+    assert r0["shard"] == [0, 4] and r1["shard"] == [4, 8]
+    assert r0["table_fnames"] == ["v0", "v1", "v2", "v3"]
+    assert r0["table_labels"] == [0, 1, 2, 3]
+    assert r1["table_fnames"][:3] == ["v4", "v5", "v6"]
+    assert r1["table_labels"] == [4, 5, 6, -1]

@@ -78,6 +78,31 @@ def _find_latest_checkpoint(base: str):
     return max(candidates)[1] if candidates else None
 
 
+def eval_batch_size(global_bs: int, n_clips: int, n_data: int,
+                    process_count: int, table_len: int,
+                    clip_budget: int) -> int:
+    """Videos per global eval dispatch.
+
+    Starts from the reference's per-video batch scaled down by clips/video
+    (dataset.py:75,131) — a GPU-memory-motivated scale-down — then floors the
+    CLIP count per device at ``clip_budget``: the bf16 forward amortizes
+    strongly with batch on TPU (measured 969 -> 1431 clips/s/chip from bs16
+    to bs128, ROADMAP "serving batch scaling") and eval numerics are
+    per-sample (running-stat BN), so a bigger batch only changes the
+    zero-weight tail padding. Rounded up to a multiple of
+    lcm(n_data, process_count) so batches both shard evenly over the 'data'
+    mesh axis and split evenly across processes, then capped at the table
+    size (same rounding) so tiny test sets don't dispatch mostly padding.
+    """
+    n_clips = max(n_clips, 1)
+    bs = max(global_bs // n_clips, 1)
+    want_clips = clip_budget * n_data
+    bs = max(bs, (want_clips + n_clips - 1) // n_clips)
+    mult = n_data * process_count // np.gcd(n_data, process_count)
+    bs = ((bs + mult - 1) // mult) * mult
+    return min(bs, ((table_len + mult - 1) // mult) * mult)
+
+
 class Experiment:
     """Bundles model, state, steps, mesh, logging for one run."""
 
@@ -340,28 +365,10 @@ class Experiment:
     # -------------------------------------------------------------- eval ----
     def evaluate(self, table: VideoTable, epoch: int) -> Dict[str, float]:
         cfg = self.config
-        # per-video batch scaled down by clips/video (reference dataset.py:75,
-        # 131 semantics), rounded UP to a multiple of the 'data' mesh axis so
-        # eval batches shard across all chips like train batches do (the tail
-        # is zero-weight-padded by HostPipeline either way)
         n_data = self.mesh.shape.get("data", 1)
         pc = jax.process_count()
-        eval_bs = max(self.global_bs // max(table.n_clips, 1), 1)
-        # floor the CLIP count per device dispatch: the reference scales
-        # videos/batch down by clips/video purely for GPU memory
-        # (dataset.py:75,131), but the bf16 forward amortizes strongly with
-        # batch on TPU (measured 969 -> 1431 clips/s/chip from bs16 to
-        # bs128, ROADMAP "serving batch scaling") and eval numerics are
-        # per-sample (running-stat BN), so a bigger batch only changes the
-        # zero-weight tail padding
-        want_clips = cfg.eval_clip_budget * n_data
-        eval_bs = max(eval_bs,
-                      (want_clips + table.n_clips - 1) // max(table.n_clips, 1))
-        # round up to a multiple of lcm(n_data, process_count) so eval batches
-        # both shard evenly and split evenly across processes
-        mult = n_data * pc // np.gcd(n_data, pc)
-        eval_bs = ((eval_bs + mult - 1) // mult) * mult
-        eval_bs = min(eval_bs, ((len(table) + mult - 1) // mult) * mult)
+        eval_bs = eval_batch_size(self.global_bs, table.n_clips, n_data, pc,
+                                  len(table), cfg.eval_clip_budget)
         pipe = HostPipeline(shard_table(table), cfg, eval_bs // pc,
                             seed=cfg.seed)
         from zeroshotvideoclassification_tpu.eval import extract_embeddings

@@ -6,8 +6,11 @@ same jitted train step runs on every host; each host feeds its local shard of
 the global batch and XLA reduces gradients over ICI within a slice and DCN
 across slices.
 
-Untestable on this single-chip harness; validated structurally via the
-virtual CPU mesh (process_count == 1 degenerates to plain shard_batch).
+Validated two ways without a real TPU slice: structurally via the virtual
+CPU mesh (process_count == 1 degenerates to plain shard_batch), and with two
+REAL OS processes under jax.distributed + gloo CPU collectives
+(tests/test_parallel.py::test_two_process_distributed — cross-process
+gradient reduction, global batch assembly, lockstep table shards).
 """
 
 from __future__ import annotations
