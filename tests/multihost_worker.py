@@ -23,15 +23,18 @@ def main(coord: str, pid: int, out_path: str) -> None:
     # backend initializes
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 2)
-    jax.distributed.initialize(coordinator_address=coord, num_processes=2,
-                               process_id=pid)
 
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from zeroshotvideoclassification_tpu.data.datasets import VideoTable
     from zeroshotvideoclassification_tpu.parallel.multihost import (
-        fetch_global, global_batch, process_shard, shard_table)
+        fetch_global, global_batch, maybe_initialize, process_shard,
+        shard_table)
+
+    # the driver's own startup entry (cli/main.py calls this unconditionally)
+    maybe_initialize(coordinator_address=coord, num_processes=2,
+                     process_id=pid)
 
     res = {
         "process_count": jax.process_count(),
