@@ -77,5 +77,48 @@ def main(coord: str, pid: int, out_path: str) -> None:
         json.dump(res, fp)
 
 
+def run_cli(coord: str, pid: int, out_path: str) -> None:
+    """Mode 'cli': the FULL driver (cli.main.main — train + zero-shot eval +
+    checkpoint) as one process of a two-process jax.distributed job. Each
+    process decodes only its lockstep table shard and assembles global
+    batches; seeds make the global computation identical on both, so the
+    parent asserts both processes report the same metrics."""
+    import os
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(repo, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from zeroshotvideoclassification_tpu.parallel.multihost import (
+        maybe_initialize,
+    )
+
+    maybe_initialize(coordinator_address=coord, num_processes=2,
+                     process_id=pid)
+
+    from zeroshotvideoclassification_tpu.cli.main import main as cli_main
+
+    out_dir = os.path.dirname(out_path)
+    summary = cli_main([
+        "--dataset", "synthetic", "--class_total", "4", "--train_samples",
+        "32", "--bs", "8", "--n_epochs", "1", "--clip_len", "2", "--size",
+        "32", "--network", "r3d_18", "--compute_dtype", "float32", "--seed",
+        "1", "--nopretrained",
+        "--save_path", os.path.join(out_dir, f"run_p{pid}"),
+    ])
+    with open(out_path, "w") as fp:
+        json.dump({"process_count": jax.process_count(),
+                   "device_count": jax.device_count(),
+                   **{k: float(v) for k, v in summary.items()}}, fp)
+
+
 if __name__ == "__main__":
-    main(sys.argv[1], int(sys.argv[2]), sys.argv[3])
+    if len(sys.argv) > 4 and sys.argv[4] == "cli":
+        run_cli(sys.argv[1], int(sys.argv[2]), sys.argv[3])
+    else:
+        main(sys.argv[1], int(sys.argv[2]), sys.argv[3])

@@ -233,13 +233,10 @@ def test_device_batch_global_pallas_shard_map(monkeypatch):
                                atol=1e-6)
 
 
-def test_two_process_distributed(tmp_path):
-    """REAL multi-process validation of parallel/multihost.py: two OS
-    processes under jax.distributed (gloo CPU collectives), 2 virtual
-    devices each -> one 4-device global mesh. The jitted gradient below
-    reduces ACROSS the process boundary — the same machinery a multi-host
-    DCN job uses (SURVEY §2.3; the reference has no multi-node story at
-    all, so this is capability the rebuild adds)."""
+def _run_two_process(tmp_path, mode=None, timeout=900):
+    """Launch tests/multihost_worker.py twice (one jax.distributed process
+    each, 2 virtual CPU devices -> one 4-device global mesh) and return both
+    result dicts."""
     import json
     import os
     import socket
@@ -255,8 +252,6 @@ def test_two_process_distributed(tmp_path):
     repo_root = os.path.dirname(os.path.dirname(__file__))
     env = dict(
         os.environ,
-        JAX_PLATFORMS="cpu",
-        XLA_FLAGS="--xla_force_host_platform_device_count=2",
         PYTHONPATH=os.pathsep.join(
             [repo_root, os.environ.get("PYTHONPATH", "")]).rstrip(os.pathsep),
     )
@@ -264,15 +259,26 @@ def test_two_process_distributed(tmp_path):
     for pid in range(2):
         out = tmp_path / f"p{pid}.json"
         outs.append(out)
+        cmd = [sys.executable, worker, coord, str(pid), str(out)]
+        if mode:
+            cmd.append(mode)
         procs.append(subprocess.Popen(
-            [sys.executable, worker, coord, str(pid), str(out)],
-            env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
+            cmd, env=env, cwd=repo_root,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
-    logs = [p.communicate(timeout=600)[0] for p in procs]
+    logs = [p.communicate(timeout=timeout)[0] for p in procs]
     for p, log in zip(procs, logs):
         assert p.returncode == 0, log.decode()
+    return [json.loads(o.read_text()) for o in outs]
 
-    r0, r1 = [json.loads(o.read_text()) for o in outs]
+
+def test_two_process_distributed(tmp_path):
+    """REAL multi-process validation of parallel/multihost.py: two OS
+    processes under jax.distributed (gloo CPU collectives), 2 virtual
+    devices each -> one 4-device global mesh. The jitted gradient below
+    reduces ACROSS the process boundary — the same machinery a multi-host
+    DCN job uses (SURVEY §2.3; the reference has no multi-node story at
+    all, so this is capability the rebuild adds)."""
+    r0, r1 = _run_two_process(tmp_path)
     full = np.arange(24, dtype=np.float32).reshape(8, 3)
     xw = full @ np.ones(3)
     exp_loss = float(np.mean(xw**2))
@@ -289,3 +295,21 @@ def test_two_process_distributed(tmp_path):
     assert r0["table_labels"] == [0, 1, 2, 3]
     assert r1["table_fnames"][:3] == ["v4", "v5", "v6"]
     assert r1["table_labels"] == [4, 5, 6, -1]
+
+
+def test_two_process_cli_train_eval(tmp_path):
+    """The FULL driver under real multi-process: cli.main.main (train +
+    zero-shot eval + checkpoint on the synthetic route) runs as a
+    two-process jax.distributed job. Each process feeds only its lockstep
+    table shard; global batches, sync-BN/grad reductions and the
+    process-aware eval gather cross the process boundary. Seeded end to
+    end, so both processes must report IDENTICAL metrics."""
+    r0, r1 = _run_two_process(tmp_path, mode="cli")
+    for r in (r0, r1):
+        assert r["process_count"] == 2 and r["device_count"] == 4
+        assert np.isfinite(r["loss"])
+        assert 0.0 <= r["synthetic_test_accuracy"] <= 100.0
+    # the global computation is identical on both processes
+    for key in ("loss", "train_accuracy", "synthetic_test_accuracy",
+                "best_accuracy"):
+        np.testing.assert_allclose(r0[key], r1[key], rtol=1e-6, err_msg=key)
