@@ -213,3 +213,13 @@ def test_eval_batch_size():
     assert bs % 8 == 0 and bs % 2 == 0 and bs >= 8 * 128
     # without the budget (0) the reference scale-down survives unchanged
     assert eval_batch_size(100, 25, 1, 1, 10_000, 0) == 4
+
+
+def test_tp_flag_builds_model_axis_and_trains(tmp_path):
+    """--tp N: CLI-level tensor parallelism — (data=-1, model=N) mesh, head
+    MLP sharded over 'model', full train+eval green on the virtual mesh."""
+    cfg = config_from_args(["--tp", "2"])
+    assert cfg.mesh_shape == (-1, 2) and cfg.mesh_axes == ("data", "model")
+    summary = _run(tmp_path, extra=["--tp", "2"])
+    assert np.isfinite(summary["loss"])
+    assert 0 <= summary["synthetic_test_accuracy"] <= 100

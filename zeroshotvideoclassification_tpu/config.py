@@ -70,6 +70,10 @@ class Config:
     compute_dtype: str = "bfloat16"   # conv/matmul compute dtype; params stay fp32
     mesh_shape: Tuple[int, ...] = (-1,)   # -1 = all devices on the 'data' axis
     mesh_axes: Tuple[str, ...] = ("data",)
+    tp: int = 1                       # tensor-parallel degree: --tp N builds
+                                      # a (data=-1, model=N) mesh and shards
+                                      # the head MLP (fc1 col / fc2 row)
+                                      # over 'model'; 1 = pure DP
     seed: int = 0
     data_root: str = "/mnt/hdd1"      # dataset root (reference hardcodes this)
     pretrained_dir: str = "./assets/pretrained"  # ported pretrained weights
@@ -210,10 +214,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["full", "convs"])
     p.add_argument("--save_samples", action="store_true", default=False)
     p.add_argument("--profile_dir", default=d.profile_dir, type=str)
+    p.add_argument("--tp", default=d.tp, type=int,
+                   help="tensor-parallel degree: shard the head MLP over a "
+                        "'model' mesh axis of this size (1 = pure DP)")
     return p
 
 
 def config_from_args(argv=None) -> Config:
     ns = build_arg_parser().parse_args(argv)
     fields = {f.name for f in dataclasses.fields(Config)}
-    return Config(**{k: v for k, v in vars(ns).items() if k in fields})
+    cfg = Config(**{k: v for k, v in vars(ns).items() if k in fields})
+    if cfg.tp > 1 and "model" not in cfg.mesh_axes:
+        cfg = cfg.replace(mesh_shape=(-1, cfg.tp),
+                          mesh_axes=("data", "model"))
+    return cfg
