@@ -102,7 +102,10 @@ def decode_video(
         frame_count = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
         w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
         h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
-        if frame_count == 0 or w == 0 or h == 0:
+        # unreadable containers report -1 (and isOpened() False); anything
+        # non-positive must take the broken-sample path, not reach the TSN
+        # index math (auxiliary_dataset.py:168-171 skip semantics)
+        if frame_count <= 0 or w <= 0 or h <= 0:
             return None, False
         idx = tsn_frame_indices(frame_count, clip_len, n_clips, is_validation, rng)
         wanted = set(int(i) for i in idx)
