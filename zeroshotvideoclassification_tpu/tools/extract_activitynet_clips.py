@@ -53,7 +53,9 @@ def extract_one(source: str, dest: str, identity: str, entry: dict) -> Optional[
         return 0
 
     cap = cv2.VideoCapture(fname)
-    fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+    # broken containers report -1.0, which is truthy — `or` can't guard it
+    fps = cap.get(cv2.CAP_PROP_FPS)
+    fps = fps if fps and fps > 0 else 25.0
     segments = sorted(
         (round(a["segment"][0] * fps), round(a["segment"][1] * fps), k)
         for k, a in enumerate(annos))
