@@ -217,6 +217,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--tp", default=d.tp, type=int,
                    help="tensor-parallel degree: shard the head MLP over a "
                         "'model' mesh axis of this size (1 = pure DP)")
+    p.add_argument("--eval_clip_budget", default=d.eval_clip_budget, type=int,
+                   help="min clips per device per eval dispatch (serving "
+                        "amortizes with batch; 0 = reference batch sizing)")
     return p
 
 
