@@ -312,3 +312,18 @@ def test_kinetics2others_route_with_fixtures(tmp_path):
         "ActivityNet", "ucf101", "hmdb51"]
     assert ds_eval["testing"][0].n_clips == 25  # dataset.py:75 max(5*5, n)
     assert ds_eval["training"] == []
+
+
+def test_prefetch_propagates_decode_errors(monkeypatch):
+    """A decode-worker exception must surface on the consumer thread as the
+    original error (not a hang, not a silent empty epoch)."""
+    cfg = _cfg()
+    table = build_datasets(cfg, None)["training"][0]
+    pipe = HostPipeline(table, cfg, 4, seed=0)
+
+    def boom(i, rng):
+        raise RuntimeError("decoder exploded")
+
+    monkeypatch.setattr(pipe, "_decode_one", boom)
+    with pytest.raises(RuntimeError, match="decoder exploded"):
+        list(pipe)
