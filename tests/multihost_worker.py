@@ -73,6 +73,15 @@ def main(coord: str, pid: int, out_path: str) -> None:
     res["table_fnames"] = list(local.fnames)
     res["table_labels"] = local.label_idx.tolist()
 
+    # --- process agreement: both processes must adopt process 0's value ------
+    from zeroshotvideoclassification_tpu.parallel.multihost import (
+        agree_from_process_zero,
+    )
+
+    res["agreed"] = agree_from_process_zero(
+        f"/ckpt/from_p{pid}.npz" if pid == 0 else None)
+    res["agreed_none"] = agree_from_process_zero(None)
+
     with open(out_path, "w") as fp:
         json.dump(res, fp)
 
@@ -111,10 +120,26 @@ def run_cli(coord: str, pid: int, out_path: str) -> None:
         "1", "--nopretrained",
         "--save_path", os.path.join(out_dir, f"run_p{pid}"),
     ])
+    # single-writer hygiene: each process runs with its OWN save_path here, so
+    # artifact counts reveal who wrote what — process 0 must have CSV/JSONL/
+    # checkpoints, every other process must have written NONE of them
+    import glob
+
+    root = os.path.join(out_dir, f"run_p{pid}")
+    res = {"process_count": jax.process_count(),
+           "device_count": jax.device_count(),
+           "n_csv": len(glob.glob(os.path.join(root, "**", "*.csv"),
+                                  recursive=True)),
+           "n_jsonl": len(glob.glob(os.path.join(root, "**", "*.jsonl"),
+                                    recursive=True)),
+           "n_ckpt": len(glob.glob(os.path.join(root, "**", "*.npz"),
+                                   recursive=True)),
+           "csv_rows": sum(
+               len(open(f).readlines()) for f in
+               glob.glob(os.path.join(root, "**", "*.csv"), recursive=True)),
+           **{k: float(v) for k, v in summary.items()}}
     with open(out_path, "w") as fp:
-        json.dump({"process_count": jax.process_count(),
-                   "device_count": jax.device_count(),
-                   **{k: float(v) for k, v in summary.items()}}, fp)
+        json.dump(res, fp)
 
 
 if __name__ == "__main__":

@@ -213,6 +213,10 @@ def test_eval_batch_size():
     assert bs % 8 == 0 and bs % 2 == 0 and bs >= 8 * 128
     # without the budget (0) the reference scale-down survives unchanged
     assert eval_batch_size(100, 25, 1, 1, 10_000, 0) == 4
+    # ... and budget 0 skips the tiny-table cap too — the restore is EXACT
+    # (only shard-divisibility rounding remains)
+    assert eval_batch_size(16, 1, 1, 1, 3, 0) == 16
+    assert eval_batch_size(16, 1, 8, 1, 3, 0) == 16
 
 
 def test_tp_flag_builds_model_axis_and_trains(tmp_path):
@@ -223,3 +227,44 @@ def test_tp_flag_builds_model_axis_and_trains(tmp_path):
     summary = _run(tmp_path, extra=["--tp", "2"])
     assert np.isfinite(summary["loss"])
     assert 0 <= summary["synthetic_test_accuracy"] <= 100
+
+
+def test_tp_experiment_commits_model_axis_shardings(tmp_path):
+    """--tp 2 must actually PLACE the head weights — and the Adam moments
+    that update them — on the 'model' mesh axis, not merely build the mesh
+    (round-2 advisor finding: the state was device_put replicated, so the
+    flag silently halved data parallelism with zero tensor-parallel
+    benefit)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    cfg = config_from_args(ARGS + ["--save_path", str(tmp_path),
+                                   "--tp", "2"])
+    cfg = cfg.replace(eval_n_clips_both=2, eval_n_clips_others=2,
+                      nopretrained=True)
+    exp = Experiment(cfg, build_datasets(cfg, None))
+    fc1 = exp.state.params["head"]["fc1"]["w"]
+    fc2 = exp.state.params["head"]["fc2"]["w"]
+    assert fc1.sharding.spec == P(None, "model"), fc1.sharding
+    assert fc2.sharding.spec == P("model", None), fc2.sharding
+    # backbone stays replicated (DP is the win for an 18-layer conv net)
+    stem = exp.state.params["backbone"]["stem"]["conv1"]["w"]
+    assert stem.sharding.spec == P()
+    # optimizer moments mirror the param shardings (mu AND nu of fc1/fc2)
+    n_tp_moments = sum(
+        1 for path, leaf in
+        jax.tree_util.tree_flatten_with_path(exp.state.opt_state)[0]
+        if np.ndim(leaf) == 2 and "model" in str(leaf.sharding.spec))
+    assert n_tp_moments >= 4, n_tp_moments
+
+
+def test_flag_polish_parses():
+    """Round-3 flag fixes: --progressbar is a real on/off pair (it was a
+    store_true with default=True — permanently on); --prefetch_depth and
+    --canvas_hw are CLI-visible."""
+    cfg = config_from_args(["--no-progressbar", "--prefetch_depth", "3",
+                            "--canvas_hw", "128", "160"])
+    assert cfg.progressbar is False
+    assert cfg.prefetch_depth == 3
+    assert cfg.canvas_hw == (128, 160)
+    assert config_from_args([]).progressbar is True

@@ -295,6 +295,10 @@ def test_two_process_distributed(tmp_path):
     assert r0["table_labels"] == [0, 1, 2, 3]
     assert r1["table_fnames"][:3] == ["v4", "v5", "v6"]
     assert r1["table_labels"] == [4, 5, 6, -1]
+    # process agreement (--resume auto uses this): BOTH adopt process 0's
+    # value, even where the local resolutions differed
+    assert r0["agreed"] == r1["agreed"] == "/ckpt/from_p0.npz"
+    assert r0["agreed_none"] is None and r1["agreed_none"] is None
 
 
 def test_two_process_cli_train_eval(tmp_path):
@@ -313,3 +317,9 @@ def test_two_process_cli_train_eval(tmp_path):
     for key in ("loss", "train_accuracy", "synthetic_test_accuracy",
                 "best_accuracy"):
         np.testing.assert_allclose(r0[key], r1[key], rtol=1e-6, err_msg=key)
+    # single-writer hygiene (round-3): process 0 writes the CSV/JSONL/
+    # checkpoint artifacts exactly once; process 1 writes NONE (each worker
+    # ran with its own save_path, so its artifact counts are its own doing)
+    assert r0["n_csv"] >= 1 and r0["n_jsonl"] >= 1 and r0["n_ckpt"] >= 1, r0
+    assert r0["csv_rows"] == r0["n_csv"]  # one epoch -> one row per CSV
+    assert r1["n_csv"] == r1["n_jsonl"] == r1["n_ckpt"] == 0, r1

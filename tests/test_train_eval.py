@@ -316,3 +316,46 @@ def test_evaluate_dataset_end_to_end(rng):
     assert out["name"] == "tiny" and out["n_samples"] == 9
     assert 0 <= out["accuracy"] <= 100
     assert "accuracy_split_mean" in out
+
+
+def test_extract_embeddings_packed_single_gather(monkeypatch):
+    """Multi-host eval hygiene: under process_count > 1 (faked),
+    extract_embeddings packs emb/z/weight/label into ONE on-device array and
+    calls fetch_global exactly ONCE per batch — one DCN round trip, not four
+    (round-2 verdict item 3) — with results identical to the single-process
+    path."""
+    import zeroshotvideoclassification_tpu.parallel.multihost as mh
+    from zeroshotvideoclassification_tpu.eval.zeroshot import (
+        extract_embeddings,
+    )
+
+    model = _tiny_model()
+    params, mstate = model.init(jax.random.PRNGKey(0))
+    eval_step = make_eval_step(model, compute_dtype=F32)
+
+    def make_batches():
+        r = np.random.default_rng(7)
+        out = []
+        for _ in range(3):
+            x, z, labels, weight, _ = _batch(r, b=6)
+            weight[-1] = 0.0  # padding row must be dropped in both paths
+            out.append({"x": jnp.asarray(x), "z": jnp.asarray(z),
+                        "label": jnp.asarray(labels),
+                        "weight": jnp.asarray(weight)})
+        return out
+
+    ref = extract_embeddings(eval_step, params, mstate, make_batches())
+
+    calls = {"n": 0}
+    real_fetch = mh.fetch_global
+
+    def counting_fetch(a):
+        calls["n"] += 1
+        return real_fetch(a)
+
+    monkeypatch.setattr(mh, "fetch_global", counting_fetch)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    got = extract_embeddings(eval_step, params, mstate, make_batches())
+    assert calls["n"] == 3, calls
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -98,10 +98,20 @@ def classify_videos(
             print(f"LOADED CHECKPOINT: {args.weights} "
                   f"(epoch {meta.get('epoch')}, acc {meta.get('accuracy')})",
                   file=sys.stderr)
-        except Exception:  # torch/.pickle/partial sources -> non-strict port
+        except (KeyError, ValueError):
+            # not a full framework checkpoint (no __meta__: a ported-weights
+            # npz or torch .pth/.pickle) or a strict section mismatch ->
+            # non-strict port. Anything else — corrupt file, IO error —
+            # propagates: silently scoring a random-init model is the failure
+            # mode the strict path exists to prevent.
             params, mstate, n = warm_start(
                 args.weights, state.params, state.model_state,
                 network=args.network, head=args.head)
+            if n == 0:
+                raise SystemExit(
+                    f"--weights {args.weights!r}: 0 tensors matched the "
+                    f"--network {args.network!r} / --head {args.head!r} "
+                    f"layout; refusing to score a random-init model")
             state = dataclasses.replace(state, params=params,
                                         model_state=mstate)
             print(f"LOADED MODEL: {args.weights} ({n} tensors)",
@@ -116,13 +126,16 @@ def classify_videos(
         args.compute_dtype]
     eval_step = make_eval_step(model, compute_dtype=dtype)
 
-    # group by loader so each group is one homogeneous VideoTable
-    order = {v: i for i, v in enumerate(videos)}
+    # group by loader so each group is one homogeneous VideoTable; results
+    # are keyed by POSITION in --videos (a path listed twice gets a result
+    # in every slot, not just the last)
     results = [None] * len(videos)
     by_loader = {}
-    for v in videos:
-        by_loader.setdefault(detect_loader(v), []).append(v)
-    for loader, paths in by_loader.items():
+    for pos, v in enumerate(videos):
+        by_loader.setdefault(detect_loader(v), []).append((pos, v))
+    for loader, entries in by_loader.items():
+        positions = [pos for pos, _ in entries]
+        paths = [v for _, v in entries]
         table = VideoTable(
             name="infer", fnames=np.asarray(paths, object),
             label_idx=np.zeros(len(paths), np.int32),
@@ -141,12 +154,12 @@ def classify_videos(
             cosine_distances(jnp.asarray(emb), jnp.asarray(class_embed))))
         rank = np.argsort(dist, axis=1)
         k = min(args.top_k, len(class_names))
-        for i, path in enumerate(paths):
+        for i, (pos, path) in enumerate(zip(positions, paths)):
             if not ok[i]:
-                results[order[path]] = {"video": path,
-                                        "error": "decode failed"}
+                results[pos] = {"video": path,
+                                "error": "decode failed"}
                 continue
-            results[order[path]] = {
+            results[pos] = {
                 "video": path,
                 "top_class": class_names[int(rank[i, 0])],
                 "topk": [

@@ -66,16 +66,25 @@ def _dtype(config: Config):
 def _find_latest_checkpoint(base: str):
     """Newest full-state checkpoint for --resume auto: last.npz (periodic)
     or checkpoint.npz (best-by-accuracy) under the base savename or any of
-    its _N dedup dirs; None if the run never checkpointed."""
+    its _N dedup dirs; None if the run never checkpointed. Ranked by the
+    checkpoint's STORED epoch (read_meta), not filesystem mtime — mtime skews
+    across hosts of a multi-host job, the stored epoch doesn't; last.npz wins
+    epoch ties (it also carries optimizer state from the later save)."""
     import glob as _glob
+
+    from zeroshotvideoclassification_tpu.train import read_meta
 
     candidates = []
     for d in [base] + sorted(_glob.glob(base + "_*")):
-        for name in ("last.npz", "checkpoint.npz"):
+        for pref, name in enumerate(("checkpoint.npz", "last.npz")):
             p = os.path.join(d, name)
             if os.path.exists(p):
-                candidates.append((os.path.getmtime(p), p))
-    return max(candidates)[1] if candidates else None
+                try:
+                    epoch = int(read_meta(p).get("epoch", -1))
+                except Exception:
+                    continue  # mid-write / corrupt file: not a candidate
+                candidates.append((epoch, pref, p))
+    return max(candidates)[2] if candidates else None
 
 
 def eval_batch_size(global_bs: int, n_clips: int, n_data: int,
@@ -93,12 +102,18 @@ def eval_batch_size(global_bs: int, n_clips: int, n_data: int,
     lcm(n_data, process_count) so batches both shard evenly over the 'data'
     mesh axis and split evenly across processes, then capped at the table
     size (same rounding) so tiny test sets don't dispatch mostly padding.
+
+    clip_budget == 0 restores the reference batch sizing EXACTLY (no clip
+    floor and no tiny-table cap — only the shard-divisibility rounding the
+    static SPMD dispatch requires; padding rows are zero-weight either way).
     """
     n_clips = max(n_clips, 1)
     bs = max(global_bs // n_clips, 1)
+    mult = n_data * process_count // np.gcd(n_data, process_count)
+    if clip_budget == 0:
+        return ((bs + mult - 1) // mult) * mult
     want_clips = clip_budget * n_data
     bs = max(bs, (want_clips + n_clips - 1) // n_clips)
-    mult = n_data * process_count // np.gcd(n_data, process_count)
     bs = ((bs + mult - 1) // mult) * mult
     return min(bs, ((table_len + mult - 1) // mult) * mult)
 
@@ -133,8 +148,14 @@ class Experiment:
         if config.resume == "auto":
             # preemption recovery: pick up the newest full-state checkpoint
             # under this run's savename (incl. _N dedup dirs); fresh run if
-            # none exists yet
-            found = _find_latest_checkpoint(base)
+            # none exists yet. Multi-host: process 0's choice is broadcast so
+            # all hosts resume the SAME checkpoint (independent resolution
+            # could diverge on per-host disks and hang the collectives)
+            from zeroshotvideoclassification_tpu.parallel import (
+                agree_from_process_zero,
+            )
+
+            found = agree_from_process_zero(_find_latest_checkpoint(base))
             config = dataclasses.replace(config, resume=found)
             self.config = config
             print(f"RESUME auto: {found or 'no checkpoint found, fresh run'}")
@@ -182,7 +203,15 @@ class Experiment:
             while os.path.exists(self.savename):
                 self.savename = base + f"_{count}"
                 count += 1
-        self.state = jax.device_put(self.state, replicated(self.mesh))
+        # tensor-parallel placement: with a 'model' mesh axis (--tp N) the
+        # head fc1/fc2 weights AND their Adam moments are committed to their
+        # column/row shards here (state_shardings path rule); pure-DP meshes
+        # degenerate to fully replicated. jit then propagates these committed
+        # input shardings (GSPMD) — no in_shardings needed on the step.
+        from zeroshotvideoclassification_tpu.parallel import state_shardings
+
+        self.state = jax.device_put(
+            self.state, state_shardings(self.state, self.mesh))
         self.train_step = make_train_step(
             self.model, self.optimizer, compute_dtype=self.dtype)
         self.scan_train_step = None
@@ -195,7 +224,10 @@ class Experiment:
                 self.model, self.optimizer, compute_dtype=self.dtype)
         self.eval_step = make_eval_step(self.model, compute_dtype=self.dtype)
         os.makedirs(self.savename, exist_ok=True)
-        self.log = MetricsLogger(self.savename)
+        # single-writer hygiene: metrics/CSV/TB artifacts are written by
+        # process 0 only (every process computes them redundantly)
+        self.log = MetricsLogger(self.savename,
+                                 write=jax.process_index() == 0)
         self.best_acc = getattr(self, "best_acc_init", 0.0)
 
     # -------------------------------------------------------- pretrained ----
@@ -419,8 +451,10 @@ class Experiment:
         cfg = self.config
         trainsamples = (len(self.datasets["training"][0])
                         if self.datasets["training"] else 0)
-        if not cfg.evaluate and self.datasets["training"]:
-            # run-config stamp file (reference main.py:333-335)
+        if (not cfg.evaluate and self.datasets["training"]
+                and jax.process_index() == 0):
+            # run-config stamp file (reference main.py:333-335); process 0
+            # writes it once
             n_classes = len(self.datasets["training"][0].classes)
             stamp = os.path.join(
                 self.savename, f"train_samples_{n_classes}_{trainsamples}.txt")
@@ -450,21 +484,32 @@ class Experiment:
                 accuracies.append(r["accuracy"])
                 summary[f"{table.name}_accuracy"] = r["accuracy"]
             mean_acc = float(np.mean(accuracies)) if accuracies else 0.0
-            if mean_acc > self.best_acc:
-                save_checkpoint(
-                    os.path.join(self.savename, "checkpoint.npz"),
-                    jax.device_get(self.state), epoch, mean_acc,
-                    cfg.to_json())
+            save_best = mean_acc > self.best_acc
+            save_last = (cfg.checkpoint_every and not cfg.evaluate
+                         and (epoch + 1) % cfg.checkpoint_every == 0)
+            if save_best or save_last:
+                # materialize on ALL processes (fetch_global is a collective
+                # when tensor-parallel shards span hosts), then write ONCE on
+                # process 0 — redundant per-process writes on a shared
+                # filesystem are atomic-but-racing wasted IO
+                from zeroshotvideoclassification_tpu.parallel import (
+                    fetch_global,
+                )
+
+                state_host = jax.tree.map(fetch_global, self.state)
+            if save_best:
+                if jax.process_index() == 0:
+                    save_checkpoint(
+                        os.path.join(self.savename, "checkpoint.npz"),
+                        state_host, epoch, mean_acc, cfg.to_json())
                 self.best_acc = mean_acc
-            if (cfg.checkpoint_every and not cfg.evaluate
-                    and (epoch + 1) % cfg.checkpoint_every == 0):
+            if save_last and jax.process_index() == 0:
                 # periodic full-state checkpoint for preemption recovery
                 # (--resume auto); the reference's best-only policy loses
                 # everything between accuracy improvements
                 save_checkpoint(
                     os.path.join(self.savename, "last.npz"),
-                    jax.device_get(self.state), epoch, self.best_acc,
-                    cfg.to_json())
+                    state_host, epoch, self.best_acc, cfg.to_json())
             epoch_times.append(time.time() - t0)
             print("----- Epoch %d done in %.2f min. Best accuracy %.1f"
                   % (epoch, epoch_times[-1] / 60, self.best_acc))

@@ -192,7 +192,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["feature", "embedding"])
     p.add_argument("--save_path", default=d.save_path, type=str)
     p.add_argument("--weights", default=None, type=str)
-    p.add_argument("--progressbar", action="store_true", default=True)
+    # real on/off (--progressbar / --no-progressbar), default on; the
+    # reference's was opt-in (main.py:49) but a default=True store_true could
+    # never be disabled
+    p.add_argument("--progressbar", action=argparse.BooleanOptionalAction,
+                   default=True)
     p.add_argument("--evaluate", action="store_true", default=False)
     p.add_argument("--resume", default=None, type=str,
                    help="checkpoint.npz to fully resume from (opt state, "
@@ -209,6 +213,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--pretrained_dir", default=d.pretrained_dir, type=str)
     p.add_argument("--word2vec_path", default=d.word2vec_path, type=str)
     p.add_argument("--decode_workers", default=d.decode_workers, type=int)
+    p.add_argument("--prefetch_depth", default=d.prefetch_depth, type=int,
+                   help="host->device pipeline depth (decoded batches "
+                        "buffered ahead of the training step)")
+    p.add_argument("--canvas_hw", nargs=2, type=int, metavar=("H", "W"),
+                   default=list(d.canvas_hw),
+                   help="host uint8 canvas (static decode shape) — frames "
+                        "are letterboxed onto this before the on-device "
+                        "resample; default matches the reference's 256x342 "
+                        "resize target")
     p.add_argument("--steps_per_call", default=d.steps_per_call, type=int)
     p.add_argument("--remat", nargs="?", const="full", default=False,
                    choices=["full", "convs"])
@@ -226,7 +239,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
 def config_from_args(argv=None) -> Config:
     ns = build_arg_parser().parse_args(argv)
     fields = {f.name for f in dataclasses.fields(Config)}
-    cfg = Config(**{k: v for k, v in vars(ns).items() if k in fields})
+    kw = {k: v for k, v in vars(ns).items() if k in fields}
+    if isinstance(kw.get("canvas_hw"), list):  # nargs=2 parses to a list
+        kw["canvas_hw"] = tuple(kw["canvas_hw"])
+    cfg = Config(**kw)
     if cfg.tp > 1 and "model" not in cfg.mesh_axes:
         cfg = cfg.replace(mesh_shape=(-1, cfg.tp),
                           mesh_axes=("data", "model"))

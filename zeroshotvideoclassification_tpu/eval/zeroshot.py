@@ -78,18 +78,41 @@ def extract_embeddings(
     'label' [B], 'weight' [B] (0 marks broken/padding samples — the
     reference's label==-1 convention, main.py:246-247).
     Returns (pred_embed [N,300], true_embed [N,300], true_label [N]).
-    Under multi-host, batch arrays are globally sharded; fetch_global
-    all-gathers them so every process sees the full eval set (metrics are
-    computed redundantly on each host, like the schedule)."""
+    Under multi-host, batch arrays are globally sharded; they are packed into
+    ONE on-device array per batch and fetched with a SINGLE fetch_global
+    (process_allgather) so each eval batch costs one DCN round trip, not
+    four (metrics are then computed redundantly on each host, like the
+    schedule). Labels ride the float32 pack exactly (class counts are far
+    below 2**24)."""
+    import jax
+
     from zeroshotvideoclassification_tpu.parallel.multihost import fetch_global
 
     preds, trues, labels = [], [], []
+    multi = jax.process_count() > 1
     for batch in batches:
-        emb = fetch_global(eval_step(params, model_state, batch["x"]))
-        keep = fetch_global(batch["weight"]) > 0
-        preds.append(emb[keep])
-        trues.append(fetch_global(batch["z"])[keep])
-        labels.append(fetch_global(batch["label"])[keep])
+        emb = eval_step(params, model_state, batch["x"])
+        if multi:
+            import jax.numpy as jnp
+
+            d = emb.shape[-1]
+            packed = fetch_global(jnp.concatenate(
+                [emb.astype(jnp.float32),
+                 batch["z"].astype(jnp.float32),
+                 batch["weight"].astype(jnp.float32)[:, None],
+                 batch["label"].astype(jnp.float32)[:, None]], axis=1))
+            emb_h, z_h = packed[:, :d], packed[:, d:2 * d]
+            w_h = packed[:, 2 * d]
+            lab_h = packed[:, 2 * d + 1].astype(np.int64)
+        else:
+            emb_h = np.asarray(emb)
+            z_h = np.asarray(batch["z"])
+            w_h = np.asarray(batch["weight"])
+            lab_h = np.asarray(batch["label"])
+        keep = w_h > 0
+        preds.append(emb_h[keep])
+        trues.append(z_h[keep])
+        labels.append(lab_h[keep])
     return (
         np.concatenate(preds, axis=0),
         np.concatenate(trues, axis=0),

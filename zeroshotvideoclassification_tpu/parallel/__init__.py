@@ -16,8 +16,10 @@ from zeroshotvideoclassification_tpu.parallel.mesh import (
     replicated,
     param_shardings,
     shard_batch,
+    state_shardings,
 )
 from zeroshotvideoclassification_tpu.parallel.multihost import (
+    agree_from_process_zero,
     maybe_initialize,
     process_shard,
     global_batch,

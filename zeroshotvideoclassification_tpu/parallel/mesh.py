@@ -35,6 +35,23 @@ def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 
 
+def _tp_spec_for(mesh: Mesh):
+    """Path-based sharding rule shared by param_shardings/state_shardings."""
+    has_model_axis = "model" in mesh.axis_names and mesh.shape["model"] > 1
+
+    def spec_for(path, leaf) -> NamedSharding:
+        names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+        if has_model_axis and "head" in names and np.ndim(leaf) >= 1:
+            if "fc1" in names:
+                return NamedSharding(
+                    mesh, P(*([None] * (np.ndim(leaf) - 1)), "model"))
+            if "fc2" in names and np.ndim(leaf) == 2:
+                return NamedSharding(mesh, P("model", None))
+        return NamedSharding(mesh, P())
+
+    return spec_for
+
+
 def param_shardings(params, mesh: Mesh):
     """Sharding pytree for model params.
 
@@ -43,19 +60,19 @@ def param_shardings(params, mesh: Mesh):
     fc1 column-sharded [F, F/mp], fc2 row-sharded [F/mp, 300]; XLA inserts the
     all-reduce between them. With no 'model' axis, everything is replicated.
     """
-    has_model_axis = "model" in mesh.axis_names and mesh.shape["model"] > 1
+    return jax.tree_util.tree_map_with_path(_tp_spec_for(mesh), params)
 
-    def spec_for(path, leaf) -> NamedSharding:
-        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
-        if has_model_axis and "head" in names and leaf.ndim >= 1:
-            if "fc1" in names:
-                return NamedSharding(
-                    mesh, P(*([None] * (leaf.ndim - 1)), "model"))
-            if "fc2" in names and leaf.ndim == 2:
-                return NamedSharding(mesh, P("model", None))
-        return NamedSharding(mesh, P())
 
-    return jax.tree_util.tree_map_with_path(spec_for, params)
+def state_shardings(state, mesh: Mesh):
+    """Sharding pytree for a WHOLE train state (params + BN state + optimizer
+    state + step), by the same path rule as param_shardings: Adam's mu/nu
+    trees mirror the params dict key-for-key, so the optimizer moments of a
+    tensor-parallel weight shard consistently with the weight they update
+    (an fc1 column shard's moments live on the same devices as the shard).
+    Everything without a tensor-parallel rule — backbone, BN stats,
+    schedule scalars — is replicated. With no 'model' axis this degenerates
+    to fully replicated placement."""
+    return jax.tree_util.tree_map_with_path(_tp_spec_for(mesh), state)
 
 
 def shard_batch(mesh: Mesh, tree):

@@ -84,6 +84,22 @@ def shard_table(table):
     )
 
 
+def agree_from_process_zero(s, maxlen: int = 4096):
+    """All processes adopt process 0's string (or None) — e.g. the --resume
+    auto checkpoint choice, which must not be resolved independently per host
+    (mtime skew / per-host disks could pick different checkpoints and hang
+    the collectives on divergent state). Identity when single-process."""
+    if jax.process_count() == 1:
+        return s
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros(maxlen, np.uint8)
+    b = (s or "").encode("utf-8")[:maxlen]
+    buf[: len(b)] = np.frombuffer(b, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return bytes(out).rstrip(b"\x00").decode("utf-8") or None
+
+
 def fetch_global(a) -> np.ndarray:
     """np.asarray for possibly multi-host-sharded arrays.
 

@@ -14,5 +14,6 @@ from zeroshotvideoclassification_tpu.train.step import (
 from zeroshotvideoclassification_tpu.train.checkpoint import (
     save_checkpoint,
     load_checkpoint,
+    read_meta,
     warm_start,
 )

@@ -41,11 +41,20 @@ class Timer:
 
 
 class MetricsLogger:
-    def __init__(self, logdir: str, use_tensorboard: bool = True):
+    def __init__(self, logdir: str, use_tensorboard: bool = True,
+                 write: bool = True):
+        """`write=False` makes every method a no-op — multi-host jobs compute
+        metrics redundantly on every process but must write each artifact
+        ONCE (shared filesystems would otherwise get duplicated CSV rows and
+        racing TB/JSONL appends); the driver passes process_index() == 0."""
         self.logdir = logdir
+        self.write = write
+        self._jsonl = None
+        self._tb = None
+        if not write:
+            return
         os.makedirs(logdir, exist_ok=True)
         self._jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a")
-        self._tb = None
         if use_tensorboard:
             try:
                 from tensorboardX import SummaryWriter
@@ -55,6 +64,8 @@ class MetricsLogger:
                 self._tb = None
 
     def scalar(self, tag: str, value: float, step: int) -> None:
+        if not self.write:
+            return
         self._jsonl.write(json.dumps(
             {"tag": tag, "value": float(value), "step": int(step),
              "ts": time.time()}) + "\n")
@@ -70,11 +81,14 @@ class MetricsLogger:
 
     def csv_append(self, filename: str, row: str) -> None:
         """Reference CSV appenders (main.py:275-276, 309-311)."""
+        if not self.write:
+            return
         with open(os.path.join(self.logdir, filename), "a") as f:
             f.write(row if row.endswith("\n") else row + "\n")
 
     def close(self) -> None:
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
 
