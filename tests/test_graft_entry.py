@@ -16,6 +16,26 @@ def test_dryrun_multichip_runs_on_virtual_mesh(capsys):
     assert "dryrun_multichip OK" in capsys.readouterr().out
 
 
+def test_dryrun_multichip_scales_to_pod_meshes():
+    """dryrun at 16 (dp8 x tp2) and 32 (dp8 x tp4) virtual devices — the
+    SURVEY §7 step-9 scale evidence. Subprocesses, because the device count
+    must be set before the backend initializes (conftest already pinned this
+    process to 8)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for n, want_mesh in ((16, "{'data': 8, 'model': 2}"),
+                        (32, "{'data': 8, 'model': 4}")):
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "__graft_entry__.py"), str(n)],
+            cwd=repo, capture_output=True, text=True, timeout=900)
+        assert out.returncode == 0, out.stdout + out.stderr
+        assert "dryrun_multichip OK" in out.stdout, out.stdout
+        assert want_mesh in out.stdout, out.stdout
+
+
 def test_entry_returns_jittable_forward():
     import __graft_entry__ as g
 

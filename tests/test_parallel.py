@@ -233,10 +233,10 @@ def test_device_batch_global_pallas_shard_map(monkeypatch):
                                atol=1e-6)
 
 
-def _run_two_process(tmp_path, mode=None, timeout=900):
-    """Launch tests/multihost_worker.py twice (one jax.distributed process
-    each, 2 virtual CPU devices -> one 4-device global mesh) and return both
-    result dicts."""
+def _run_two_process(tmp_path, mode=None, timeout=900, nprocs=2):
+    """Launch tests/multihost_worker.py nprocs times (one jax.distributed
+    process each, 2 virtual CPU devices -> one 2*nprocs-device global mesh)
+    and return all result dicts."""
     import json
     import os
     import socket
@@ -256,12 +256,12 @@ def _run_two_process(tmp_path, mode=None, timeout=900):
             [repo_root, os.environ.get("PYTHONPATH", "")]).rstrip(os.pathsep),
     )
     procs, outs = [], []
-    for pid in range(2):
+    for pid in range(nprocs):
         out = tmp_path / f"p{pid}.json"
         outs.append(out)
         cmd = [sys.executable, worker, coord, str(pid), str(out)]
         if mode:
-            cmd.append(mode)
+            cmd.extend([mode, str(nprocs)])
         procs.append(subprocess.Popen(
             cmd, env=env, cwd=repo_root,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
@@ -323,3 +323,23 @@ def test_two_process_cli_train_eval(tmp_path):
     assert r0["n_csv"] >= 1 and r0["n_jsonl"] >= 1 and r0["n_ckpt"] >= 1, r0
     assert r0["csv_rows"] == r0["n_csv"]  # one epoch -> one row per CSV
     assert r1["n_csv"] == r1["n_jsonl"] == r1["n_ckpt"] == 0, r1
+
+
+def test_four_process_eval_uneven_shards(tmp_path):
+    """FOUR real jax.distributed processes (8 global devices) running the
+    zero-shot eval machinery over a 15-row test table — the lockstep shards
+    are UNEVEN (4+4+4+3, last shard zero-weight padded), so this exercises
+    the padded packed-gather across a genuinely ragged split. All four
+    processes must report identical metrics over exactly the 15 real rows.
+    (The FULL driver under real multi-process runs in the 2-process 'cli'
+    test above; at 4 full-driver processes this 1-core host's contention
+    exceeds the device-communicator connect window — a harness limit, not a
+    framework one.)"""
+    rs = _run_two_process(tmp_path, mode="eval4", nprocs=4, timeout=900)
+    for r in rs:
+        assert r["process_count"] == 4 and r["device_count"] == 8
+        assert r["table_rows"] == 15 and r["local_rows"] == 4  # ragged+padded
+        assert r["n_samples"] == 15  # padding rows dropped everywhere
+    for key in ("accuracy", "accuracy_top5", "split_mean", "split_std"):
+        vals = [r[key] for r in rs]
+        np.testing.assert_allclose(vals, vals[0], rtol=1e-6, err_msg=key)

@@ -208,8 +208,16 @@ class Experiment:
         # column/row shards here (state_shardings path rule); pure-DP meshes
         # degenerate to fully replicated. jit then propagates these committed
         # input shardings (GSPMD) — no in_shardings needed on the step.
-        from zeroshotvideoclassification_tpu.parallel import state_shardings
+        from zeroshotvideoclassification_tpu.parallel import (
+            state_shardings,
+            sync_processes,
+        )
 
+        # this device_put is the job's FIRST device collective (it opens the
+        # communicator for the mesh clique); align hosts first so startup
+        # skew (imports, init jit, dataset builds) cannot eat the
+        # communicator's connect window
+        sync_processes("init_placement")
         self.state = jax.device_put(
             self.state, state_shardings(self.state, self.mesh))
         self.train_step = make_train_step(
@@ -344,11 +352,23 @@ class Experiment:
                 last_logged = len(losses)
 
         sample_saved = not cfg.save_samples
+        first_dispatch = True
         while True:
             with batch_t:
                 host = next(it, None)
             if host is None:
                 break
+            if first_dispatch:
+                # align hosts before this epoch's FIRST step dispatch: its
+                # execution lazily opens fresh device communicators
+                # (per-executable), and host-side decode-time variance could
+                # otherwise exceed their connect window (no-op single-host)
+                from zeroshotvideoclassification_tpu.parallel import (
+                    sync_processes,
+                )
+
+                sync_processes(f"train_dispatch_{epoch}")
+                first_dispatch = False
             with model_t:
                 if not sample_saved and jax.process_index() == 0:
                     # debug GIF of the first clip, as the reference intended
@@ -418,7 +438,8 @@ class Experiment:
                                        cfg.clip_len)
                    for h in source)
         pred, true_e, true_l = extract_embeddings(
-            self.eval_step, self.state.params, self.state.model_state, batches)
+            self.eval_step, self.state.params, self.state.model_state, batches,
+            sync_tag=f"eval_dispatch_{table.name}_{epoch}")
         acc, acc5 = compute_accuracy(pred, table.class_embed, true_e)
         self.log.scalar(f"{table.name}/Accuracy", acc, epoch)
         self.log.scalar(f"{table.name}/Accuracy_Top5", acc5, epoch)

@@ -71,6 +71,7 @@ def extract_embeddings(
     params,
     model_state,
     batches,
+    sync_tag: Optional[str] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Run the jitted eval step over an iterable of evaluation batches.
 
@@ -83,14 +84,26 @@ def extract_embeddings(
     (process_allgather) so each eval batch costs one DCN round trip, not
     four (metrics are then computed redundantly on each host, like the
     schedule). Labels ride the float32 pack exactly (class counts are far
-    below 2**24)."""
+    below 2**24).
+
+    `sync_tag` (unique per call site) barrier-aligns processes right before
+    the FIRST dispatch: the eval executable's first run opens fresh device
+    communicators, and per-host decode-time skew must not eat their connect
+    window."""
     import jax
 
-    from zeroshotvideoclassification_tpu.parallel.multihost import fetch_global
+    from zeroshotvideoclassification_tpu.parallel.multihost import (
+        fetch_global,
+        sync_processes,
+    )
 
     preds, trues, labels = [], [], []
     multi = jax.process_count() > 1
+    first = True
     for batch in batches:
+        if first and sync_tag:
+            sync_processes(sync_tag)
+        first = False
         emb = eval_step(params, model_state, batch["x"])
         if multi:
             import jax.numpy as jnp

@@ -21,6 +21,7 @@ from zeroshotvideoclassification_tpu.parallel.mesh import (
 from zeroshotvideoclassification_tpu.parallel.multihost import (
     agree_from_process_zero,
     maybe_initialize,
+    sync_processes,
     process_shard,
     global_batch,
     shard_table,

@@ -84,30 +84,82 @@ def shard_table(table):
     )
 
 
+def sync_processes(tag: str, timeout_ms: int = 1_200_000) -> None:
+    """Cheap cross-process barrier through the coordination service (pure
+    gRPC — no device collectives, no gloo/ICI/DCN traffic). Aligns processes
+    at phase boundaries whose FIRST collective would otherwise be entered
+    skewed: process 0 does extra IO the others skip (checkpoint writes, TB),
+    and a fresh communicator's connect window can time out if one host
+    arrives late. `tag` must be unique per use (one-shot barrier ids).
+    No-op single-process or when jax.distributed was never initialized."""
+    if jax.process_count() == 1:
+        return
+    try:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        if client is not None:
+            client.wait_at_barrier(f"zsvc_{tag}", timeout_in_ms=timeout_ms)
+    except Exception:
+        pass  # coordination service unavailable: fall through to collectives
+
+
+_agree_counter = [0]
+
+
 def agree_from_process_zero(s, maxlen: int = 4096):
     """All processes adopt process 0's string (or None) — e.g. the --resume
     auto checkpoint choice, which must not be resolved independently per host
     (mtime skew / per-host disks could pick different checkpoints and hang
-    the collectives on divergent state). Identity when single-process."""
+    the collectives on divergent state). Identity when single-process.
+
+    Rides the coordination service's KV store (pure gRPC) rather than a
+    device collective: control-plane agreement should not open a gloo/DCN
+    communicator of its own. Falls back to broadcast_one_to_all if the KV
+    store is unavailable."""
     if jax.process_count() == 1:
         return s
-    from jax.experimental import multihost_utils
+    try:
+        from jax._src import distributed
 
-    buf = np.zeros(maxlen, np.uint8)
-    b = (s or "").encode("utf-8")[:maxlen]
-    buf[: len(b)] = np.frombuffer(b, np.uint8)
-    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
-    return bytes(out).rstrip(b"\x00").decode("utf-8") or None
+        client = distributed.global_state.client
+        if client is None:
+            raise RuntimeError("no coordination client")
+        _agree_counter[0] += 1
+        key = f"zsvc_agree/{_agree_counter[0]}"
+        if jax.process_index() == 0:
+            client.key_value_set(key, s if s is not None else "\x00none")
+        got = client.blocking_key_value_get(key, 600_000)
+        return None if got == "\x00none" else got
+    except Exception:
+        from jax.experimental import multihost_utils
+
+        buf = np.zeros(maxlen, np.uint8)
+        b = (s or "").encode("utf-8")[:maxlen]
+        buf[: len(b)] = np.frombuffer(b, np.uint8)
+        out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+        return bytes(out).rstrip(b"\x00").decode("utf-8") or None
 
 
 def fetch_global(a) -> np.ndarray:
     """np.asarray for possibly multi-host-sharded arrays.
 
     A jit output whose shards live on other hosts is not fully addressable;
-    gather it with process_allgather (every host receives the full array —
-    the process-aware D2H the eval metrics need). Identity single-process."""
+    replicate it over ITS OWN mesh (jit identity with a replicated
+    out_sharding — XLA emits the all-gather over the same ICI/DCN clique the
+    training/eval steps already use) and materialize the now-locally-complete
+    value. This deliberately avoids multihost_utils.process_allgather, which
+    opens a SEPARATE one-device-per-process communicator: a second clique is
+    a second connect window to time out and extra DCN state for no benefit.
+    Identity single-process."""
     if getattr(a, "is_fully_addressable", True):
         return np.asarray(a)
+    sharding = getattr(a, "sharding", None)
+    mesh = getattr(sharding, "mesh", None)
+    if mesh is not None:
+        rep = jax.jit(
+            lambda x: x, out_shardings=NamedSharding(mesh, P()))(a)
+        return np.asarray(rep)
     from jax.experimental import multihost_utils
 
     return np.asarray(multihost_utils.process_allgather(a, tiled=True))
