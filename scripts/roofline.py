@@ -231,15 +231,20 @@ def main():
             emb, _ = model.apply(ts.params, ts.model_state, x, train=False,
                                  compute_dtype=jnp.bfloat16)
             return TrainState(ts.params, ts.model_state, ts.opt_state,
-                              ts.step + jnp.sum(emb[0, :1]).astype(jnp.int32) * 0 + 1)
+                              ts.step + 1), emb
 
         @jax.jit
         def loop(ts):
-            def body(t, _):
-                t2 = step(t)
-                return t2, ()
-            out, _ = jax.lax.scan(body, ts, None, length=args.scan_iters)
-            return out.step
+            # the per-iteration emb sum keeps the forward LIVE in the scan
+            # (a step-count-only carry lets XLA dead-code the whole model)
+            def body(carry, _):
+                t, acc = carry
+                t2, emb = step(t)
+                return (t2, acc + jnp.sum(emb)), ()
+            (out, acc), _ = jax.lax.scan(
+                body, (ts, jnp.zeros((), jnp.float32)), None,
+                length=args.scan_iters)
+            return acc
     else:
         @jax.jit
         def step(ts):
@@ -256,10 +261,12 @@ def main():
 
         @jax.jit
         def loop(ts):
+            # returning a param-dependent scalar keeps the updates LIVE (a
+            # step-count-only result lets XLA dead-code the entire model)
             def body(t, _):
                 return step(t), ()
             out, _ = jax.lax.scan(body, ts, None, length=args.scan_iters)
-            return out.step
+            return jnp.sum(out.params["head"]["fc2"]["w"]) + out.step
 
     print("compiling...", flush=True)
     compiled = step.lower(ts).compile()
@@ -275,13 +282,16 @@ def main():
     print(f"step={step_ms:.2f} ms (in-graph x{args.scan_iters})", flush=True)
 
     # per-fusion timing via the device trace of the single-step program
-    cur = ts
-    cur = step(cur)
+    def run_once(t):
+        out = step(t)
+        return out[0] if args.eval else out
+
+    cur = run_once(ts)
     float(jax.device_get(cur.step))
     jax.profiler.start_trace(args.trace_dir)
     cur = ts
     for _ in range(args.reps):
-        cur = step(cur)
+        cur = run_once(cur)
     float(jax.device_get(cur.step))
     jax.profiler.stop_trace()
 
@@ -339,8 +349,18 @@ def main():
         })
 
     profiled_ms = sum(r["ms"] for r in rows)
-    bound_ms = sum(r["t_bound_ms"] for r in rows)
+    # model only fusions big enough for the byte/FLOP estimate to mean
+    # something (>= 0.1 ms); the sub-0.1ms tail is dominated by launch
+    # quanta and slice-of-operand reads where whole-operand traffic
+    # grossly overestimates, so it is reported as UNMODELED, not claimed
+    modeled = [r for r in rows if r["ms"] >= 0.1 and r["t_bound_ms"] > 0]
+    modeled_ms = sum(r["ms"] for r in modeled)
+    modeled_bound_ms = sum(min(r["t_bound_ms"], r["ms"]) for r in modeled)
+    tail_ms = profiled_ms - sum(r["ms"] for r in rows if r["ms"] >= 0.1)
     total_flops = float(cost.get("flops", 0)) if cost else 0
+    total_bytes = float(cost.get("bytes accessed", 0)) if cost else 0
+    prog_bound_ms = max(total_flops / peak_flops,
+                        total_bytes / peak_bw) * 1e3
     out = {
         "program": "eval_forward" if args.eval else "train_step",
         "shape": {"bs": args.bs, "clip_len": args.clip_len,
@@ -350,10 +370,23 @@ def main():
                                "tunnel, not datasheet spec"},
         "step_ms_ingraph": round(step_ms, 3),
         "profiled_device_ms": round(profiled_ms, 3),
-        "sum_fusion_lower_bounds_ms": round(bound_ms, 3),
-        "roofline_headroom_frac": round(1 - bound_ms / profiled_ms, 4)
-            if profiled_ms else None,
-        "xla_cost_analysis_gflops": round(total_flops / 1e9, 2),
+        "modeled": {
+            "n_fusions": len(modeled),
+            "ms": round(modeled_ms, 3),
+            "sum_lower_bounds_ms": round(modeled_bound_ms, 3),
+            "headroom_ms_if_every_fusion_hit_its_wall":
+                round(modeled_ms - modeled_bound_ms, 3),
+            "note": "per-fusion bounds clamped at measured time; traffic "
+                    "model = operand+result shapes (upper estimate)",
+        },
+        "unmodeled_tail_ms": round(tail_ms, 3),
+        "program_level": {
+            "xla_gflops": round(total_flops / 1e9, 2),
+            "xla_gbytes_accessed": round(total_bytes / 1e9, 3),
+            "roofline_lower_bound_ms": round(prog_bound_ms, 3),
+            "measured_over_bound":
+                round(step_ms / prog_bound_ms, 3) if prog_bound_ms else None,
+        },
         "fusions": rows,
     }
     path = args.out or ("PERF_ROOFLINE_EVAL.json" if args.eval
@@ -361,10 +394,12 @@ def main():
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"-> {path}")
-    print(f"profiled {profiled_ms:.1f} ms, sum of per-fusion roofline lower "
-          f"bounds {bound_ms:.1f} ms "
-          f"({bound_ms / max(profiled_ms, 1e-9) * 100:.0f}% — the residual "
-          f"is the theoretical headroom IF every fusion hit its own wall)")
+    print(f"profiled {profiled_ms:.1f} ms | modeled {modeled_ms:.1f} ms over "
+          f"{len(modeled)} fusions, their roofline lower bounds sum to "
+          f"{modeled_bound_ms:.1f} ms (headroom "
+          f"{modeled_ms - modeled_bound_ms:.1f} ms IF each hit its own wall) "
+          f"| unmodeled tail {tail_ms:.1f} ms | program-level bound "
+          f"{prog_bound_ms:.1f} ms")
     for r in rows[:15]:
         print(f"  {r['ms']:7.3f} ms  af={r['achieved_frac']} "
               f"{r['bound']:9s} {r['ops'][:24]:24s} {r['fusion'][:40]}")

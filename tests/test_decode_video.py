@@ -83,3 +83,70 @@ def test_video_loader_through_pipeline(tmp_path):
     assert hb.canvas.shape == (2, 4, 192, 224, 3)
     np.testing.assert_array_equal(hb.weight, [1.0, 0.0])  # bad file masked
     assert hb.label[0] == 0
+
+
+# ------------------------------------------------- native libav decoder -----
+
+def _native_video_or_skip():
+    from zeroshotvideoclassification_tpu.data import native_decode
+
+    if not native_decode.video_available():
+        pytest.skip("libzsvc_video.so not built (make -C native)")
+    return native_decode
+
+
+def test_native_probe_matches_cv2(tmp_path):
+    nd = _native_video_or_skip()
+    p = tmp_path / "v.avi"
+    _write_video(p)
+    meta = nd.video_probe(str(p))
+    assert meta is not None
+    n, h, w = meta
+    cap = cv2.VideoCapture(str(p))
+    assert (n, h, w) == (int(cap.get(cv2.CAP_PROP_FRAME_COUNT)),
+                         int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+                         int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)))
+    cap.release()
+    assert nd.video_probe(str(tmp_path / "nope.avi")) is None
+
+
+def test_native_video_matches_cv2(tmp_path, monkeypatch):
+    """Bit-level parity of the libav gatherer against the cv2 path on the
+    same container (both sit on ffmpeg's MJPEG decoder, so the pixels must
+    agree exactly), across validation and seeded-train sampling."""
+    _native_video_or_skip()
+    p = tmp_path / "v.avi"
+    _write_video(p)
+    for args in ((4, 2, True, None), (4, 2, False, np.random.default_rng(3)),
+                 (6, 1, True, None)):
+        cl, nc, val, _ = args
+        rng_n = np.random.default_rng(3) if not val else None
+        rng_c = np.random.default_rng(3) if not val else None
+        a, ok_a = decode_video(str(p), cl, nc, val, rng_n)
+        monkeypatch.setenv("ZSVC_NATIVE_VIDEO", "0")
+        b, ok_b = decode_video(str(p), cl, nc, val, rng_c)
+        monkeypatch.delenv("ZSVC_NATIVE_VIDEO")
+        assert ok_a and ok_b
+        np.testing.assert_array_equal(a, b)
+
+
+def test_native_video_loop_padded_indices(tmp_path):
+    """clip_len > frame count: TSN loop-pads with REPEATED indices — the
+    native gather must dedup, decode once, and fan back out."""
+    _native_video_or_skip()
+    p = tmp_path / "tiny.avi"
+    _write_video(p, n=5)
+    frames, ok = decode_video(str(p), clip_len=8, n_clips=1,
+                              is_validation=True)
+    assert ok and frames.shape == (8, H, W, 3)
+    idx = tsn_frame_indices(5, 8, 1, True, None)
+    got = np.round(frames.reshape(8, -1).mean(axis=1) / 6.0).astype(int)
+    np.testing.assert_array_equal(got, np.asarray(idx))
+
+
+def test_native_video_unreadable_falls_back_broken(tmp_path):
+    _native_video_or_skip()
+    bad = tmp_path / "bad.avi"
+    bad.write_bytes(b"certainly not a video container")
+    frames, ok = decode_video(str(bad), 4, 1, True)
+    assert frames is None and not ok

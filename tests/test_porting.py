@@ -166,3 +166,61 @@ def test_detect_source_kind():
     assert detect_source_kind({"conv1.weight": 0, "fc6.weight": 0}) == "c3d"
     assert detect_source_kind({"model.stem.0.weight": 0,
                                "output2emb_proj.layers.0.weight": 0}) == "reference"
+
+
+def test_c3d_pickle_davidea_layout_contract(tmp_path):
+    """De-risk the ONE porting path never exercised against its true
+    producer: a synthetic c3d.pickle with the EXACT DavideA/c3d-pytorch
+    state_dict contract — torch.save'd torch tensors, every key and shape of
+    the real asset incl. the fc7/fc8 classifier the reference bypasses
+    (/root/reference/network.py:120-141: Conv3d(3,64)..Conv3d(512,512),
+    fc6 8192->4096, fc7 4096->4096, fc8 4096->487) — must flow through
+    warm_start end to end with the layout transposes verified by value."""
+    import torch
+
+    from zeroshotvideoclassification_tpu.models import get_network
+    from zeroshotvideoclassification_tpu.config import Config
+    from zeroshotvideoclassification_tpu.train import (
+        create_train_state,
+        make_optimizer,
+        warm_start,
+    )
+
+    torch.manual_seed(0)
+    shapes = [("conv1", 3, 64), ("conv2", 64, 128), ("conv3a", 128, 256),
+              ("conv3b", 256, 256), ("conv4a", 256, 512),
+              ("conv4b", 512, 512), ("conv5a", 512, 512),
+              ("conv5b", 512, 512)]
+    sd = {}
+    for name, ci, co in shapes:
+        sd[name + ".weight"] = torch.randn(co, ci, 3, 3, 3) * 0.02
+        sd[name + ".bias"] = torch.randn(co) * 0.02
+    sd["fc6.weight"] = torch.randn(4096, 8192) * 0.02
+    sd["fc6.bias"] = torch.randn(4096) * 0.02
+    sd["fc7.weight"] = torch.randn(4096, 4096) * 0.02  # bypassed, must be
+    sd["fc7.bias"] = torch.randn(4096) * 0.02          # tolerated
+    sd["fc8.weight"] = torch.randn(487, 4096) * 0.02
+    sd["fc8.bias"] = torch.randn(487) * 0.02
+    path = str(tmp_path / "c3d.pickle")
+    torch.save(sd, path)
+
+    model = get_network(Config(network="c3d"))
+    ts = create_train_state(model, make_optimizer(1e-3), jax.random.PRNGKey(7))
+    params, mstate, n = warm_start(path, ts.params, ts.model_state,
+                                   network="c3d", head="c3d")
+    # 8 convs x (w, b) + fc6 (w, b) = 18 backbone tensors; head regressor
+    # stays at its random init (the reference adds it AFTER the pickle load)
+    assert n == 18, n
+    # layout by value: DavideA [O, I, kD, kH, kW] -> our DHWIO
+    got = np.asarray(params["backbone"]["conv2"]["w"])
+    want = sd["conv2.weight"].numpy()
+    assert got.shape == (3, 3, 3, 64, 128)
+    np.testing.assert_array_equal(got[1, 2, 0, 10, 99],
+                                  want[99, 10, 1, 2, 0])
+    got_fc = np.asarray(params["backbone"]["fc6"]["w"])
+    assert got_fc.shape == (8192, 4096)
+    np.testing.assert_array_equal(got_fc, sd["fc6.weight"].numpy().T)
+    # head untouched
+    np.testing.assert_array_equal(
+        np.asarray(params["head"]["regressor"]["w"]),
+        np.asarray(ts.params["head"]["regressor"]["w"]))

@@ -94,31 +94,72 @@ def decode_video(
     is_validation: bool,
     rng: Optional[np.random.Generator] = None,
 ) -> Tuple[Optional[np.ndarray], bool]:
-    """cv2 sequential video decode with repeat-last fill for bad frames."""
-    if cv2 is None or not os.path.exists(fname):
+    """Sequential encoded-video decode with repeat-last fill for bad frames.
+
+    Prefers the native libav gatherer (native/zsvc_video.cpp — GIL-free like
+    the frame-dir path's libjpeg pool; same probe/fill semantics as the cv2
+    code below, parity-tested in tests/test_decode_video.py), falling back
+    to cv2 when the library is absent. The TSN indices are drawn ONCE (the
+    fallback reuses them, so the rng stream is identical either way).
+    ZSVC_NATIVE_VIDEO=0 forces cv2."""
+    if not os.path.exists(fname):
         return None, False
-    cap = cv2.VideoCapture(fname)
-    try:
+    native = None
+    if os.environ.get("ZSVC_NATIVE_VIDEO", "1") != "0":
+        try:
+            from zeroshotvideoclassification_tpu.data import native_decode
+            if native_decode.video_available():
+                native = native_decode
+        except Exception:  # pragma: no cover
+            native = None
+
+    frame_count = h = w = 0
+    if native is not None:
+        meta = native.video_probe(fname)
+        if meta is not None:
+            frame_count, h, w = meta
+        else:
+            native = None  # unreadable by libav: let cv2 have a look
+    if native is None:
+        if cv2 is None:
+            return None, False
+        cap = cv2.VideoCapture(fname)
         frame_count = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
         w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
         h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
-        # unreadable containers report -1 (and isOpened() False); anything
-        # non-positive must take the broken-sample path, not reach the TSN
-        # index math (auxiliary_dataset.py:168-171 skip semantics)
-        if frame_count <= 0 or w <= 0 or h <= 0:
-            return None, False
-        idx = tsn_frame_indices(frame_count, clip_len, n_clips, is_validation, rng)
+        cap.release()
+    # unreadable containers report -1 (and isOpened() False); anything
+    # non-positive must take the broken-sample path, not reach the TSN
+    # index math (auxiliary_dataset.py:168-171 skip semantics)
+    if frame_count <= 0 or w <= 0 or h <= 0:
+        return None, False
+    idx = tsn_frame_indices(frame_count, clip_len, n_clips, is_validation, rng)
+
+    if native is not None:
+        frames = native.video_gather(fname, idx, h, w)
+        if frames is not None:
+            return frames, True
+        # gather found nothing decodable: same verdict as the cv2 loop
+        # below would reach on this container, but let it confirm
+
+    return _cv2_video_gather(fname, idx)
+
+
+def _cv2_video_gather(fname, idx) -> Tuple[Optional[np.ndarray], bool]:
+    """Sequential cv2 read of precomputed display indices, repeat-last fill
+    (auxiliary_dataset.py:173-205 semantics)."""
+    if cv2 is None:
+        return None, False
+    cap = cv2.VideoCapture(fname)
+    try:
         wanted = set(int(i) for i in idx)
         decoded = {}
-        last = None
         for pos in range(max(wanted) + 1):
             ok, frame = cap.read()
             if not ok:
                 break
             if pos in wanted:
-                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-                decoded[pos] = frame
-                last = frame
+                decoded[pos] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
         if not decoded:
             return None, False
         out, last = [], None

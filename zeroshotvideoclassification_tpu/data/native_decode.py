@@ -85,3 +85,92 @@ def decode_jpeg_batch(paths: List[str]) -> Optional[np.ndarray]:
     if n_ok == 0:
         return None
     return out
+
+
+# ---------------------------------------------------------------- video -----
+# libzsvc_video.so: libavformat/libavcodec sequential gatherer (GIL-free) —
+# the 'video' loader's analog of the JPEG pool above. Separate library so a
+# host without libav still gets the JPEG path (decode.py falls back to cv2).
+
+_VIDEO_LIB_PATHS = (
+    os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                 "libzsvc_video.so"),
+    "libzsvc_video.so",
+)
+
+_video_lib = None
+
+
+def _load_video():
+    global _video_lib
+    if _video_lib is not None:
+        return _video_lib
+    for p in _VIDEO_LIB_PATHS:
+        try:
+            lib = ctypes.CDLL(os.path.abspath(p) if os.sep in p else p)
+            lib.zsvc_video_probe.restype = ctypes.c_int
+            lib.zsvc_video_probe.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_long),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.zsvc_video_gather.restype = ctypes.c_int
+            lib.zsvc_video_gather.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_long), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_ubyte),
+            ]
+            _video_lib = lib
+            return _video_lib
+        except OSError:
+            continue
+    _video_lib = False
+    return _video_lib
+
+
+def video_available() -> bool:
+    return bool(_load_video())
+
+
+def video_probe(path: str) -> Optional[Tuple[int, int, int]]:
+    """-> (frame_count, h, w) from container metadata (cv2
+    CAP_PROP_FRAME_COUNT analog), or None when the container is unreadable."""
+    lib = _load_video()
+    if not lib:
+        return None
+    n = ctypes.c_long()
+    h, w = ctypes.c_int(), ctypes.c_int()
+    if lib.zsvc_video_probe(path.encode(), ctypes.byref(n), ctypes.byref(h),
+                            ctypes.byref(w)) != 0:
+        return None
+    return int(n.value), h.value, w.value
+
+
+def video_gather(path: str, idx, h: int, w: int) -> Optional[np.ndarray]:
+    """Gather frames at (possibly repeated, unsorted) display indices `idx`
+    with the decode.py::decode_video fill semantics: frames that failed to
+    decode repeat the previously GATHERED frame (first decoded frame when the
+    gather starts on a hole); None when nothing decoded."""
+    lib = _load_video()
+    if not lib:
+        return None
+    idx = np.asarray(idx, np.int64)
+    uniq = np.unique(idx)  # sorted ascending
+    n_u = len(uniq)
+    rows = np.empty((n_u, h, w, 3), np.uint8)
+    ok = np.zeros(n_u, np.uint8)
+    n_ok = lib.zsvc_video_gather(
+        path.encode(),
+        uniq.ctypes.data_as(ctypes.POINTER(ctypes.c_long)), n_u,
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), h, w,
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    if n_ok <= 0:
+        return None
+    pos = {int(u): i for i, u in enumerate(uniq)}
+    first_ok = rows[int(np.argmax(ok))]
+    out, last = [], None
+    for i in idx:
+        r = pos[int(i)]
+        f = rows[r] if ok[r] else (last if last is not None else first_ok)
+        out.append(f)
+        last = f
+    return np.stack(out)
