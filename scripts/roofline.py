@@ -72,110 +72,139 @@ def shape_elems(shape_str: str) -> int:
     return n
 
 
-_SHAPE = r"\w+\[[\d,]*\](?:\{[\d,]*\})?"
+_SHAPE = r"\w+\[[\d,]*\]"  # layouts ({4,0,3,2,1:T(8,128)(2,1)}) ignored
 
 
-def conv_flops(line: str) -> int:
-    """FLOPs of one HLO convolution line: 2 * out_elems * Cin/g * prod(k)."""
-    out = re.match(r"\s*(?:ROOT\s+)?%?[\w.\-]+\s*=\s*(" + _SHAPE + ")", line)
-    args = re.search(r"convolution\((" + _SHAPE + r")[^,]*,\s*("
-                     + _SHAPE + r")", line)
+def _result_head(defline: str) -> str:
+    """The result-type text of an instruction defline (before the opcode)."""
+    m = re.match(r"(.*?)\s\w[\w\-]*\(", defline)
+    return m.group(1) if m else defline.split(" ", 1)[0]
+
+
+def conv_flops(line: str, symtab) -> int:
+    """FLOPs of one HLO convolution: 2 * out_elems * Cin/group * prod(k).
+    Operands are instruction/param NAMES; shapes resolve via symtab."""
+    out = re.search(_SHAPE, _result_head(line))
+    args = re.search(r"convolution\(%?([\w.\-]+),\s*%?([\w.\-]+)\)", line)
     labels = re.search(r"dim_labels=([\w?]+)_([\w?]+)->", line)
     if not (out and args and labels):
         return 0
-    out_elems = shape_elems(out.group(1))
+    kshape_str = symtab.get(args.group(2))
+    if not kshape_str:
+        return 0
+    out_elems = shape_elems(out.group(0))
     kshape = [int(d) for d in
-              re.match(r"\w+\[([\d,]*)\]", args.group(2)).group(1).split(",")
+              re.match(r"\w+\[([\d,]*)\]", kshape_str).group(1).split(",")
               if d]
-    klabels = labels.group(2)  # e.g. 'oi012' / '012io'
-    ci = kshape[klabels.index("i")]
+    klabels = labels.group(2)  # e.g. 'oi012' / '012oi'
+    if len(kshape) != len(klabels) or "i" not in klabels:
+        return 0
+    ci = kshape[klabels.index("i")]  # per-group input channels already
     kspatial = 1
     for i, ch in enumerate(klabels):
         if ch.isdigit():
             kspatial *= kshape[i]
-    groups = re.search(r"feature_group_count=(\d+)", line)
-    g = int(groups.group(1)) if groups else 1
-    del g  # ci is already per-group in HLO kernel shape
     return 2 * out_elems * ci * kspatial
 
 
-def dot_flops(line: str) -> int:
-    out = re.match(r"\s*(?:ROOT\s+)?%?[\w.\-]+\s*=\s*(" + _SHAPE + ")", line)
-    lhs = re.search(r"dot\((" + _SHAPE + ")", line)
+def dot_flops(line: str, symtab) -> int:
+    out = re.search(_SHAPE, _result_head(line))
+    args = re.search(r"dot\(%?([\w.\-]+),", line)
     contract = re.search(r"lhs_contracting_dims=\{([\d,]*)\}", line)
-    if not (out and lhs and contract):
+    if not (out and args and contract):
+        return 0
+    lshape_str = symtab.get(args.group(1))
+    if not lshape_str:
         return 0
     lshape = [int(d) for d in
-              re.match(r"\w+\[([\d,]*)\]", lhs.group(1)).group(1).split(",")
+              re.match(r"\w+\[([\d,]*)\]", lshape_str).group(1).split(",")
               if d]
     k = 1
     for ci in contract.group(1).split(","):
-        if ci:
+        if ci and int(ci) < len(lshape):
             k *= lshape[int(ci)]
-    return 2 * shape_elems(out.group(1)) * k
+    return 2 * shape_elems(out.group(0)) * k
+
+
+_INTERESTING_OPS = ("reduce", "transpose", "scatter", "gather",
+                    "reduce-window", "select-and-scatter", "iota",
+                    "rng-bit-generator")
 
 
 def parse_hlo(hlo: str):
-    """-> {instr_name: {defline, flops, param_bytes, result_bytes, ops}}.
+    """-> {instr_name: {flops, param_bytes, result_bytes, ops}}.
 
-    For a fusion, FLOPs come from conv/dot lines inside its fused
-    computation; traffic = fused-computation parameter shapes + result shape
-    (an upper estimate of HBM bytes: assumes no cross-fusion reuse)."""
-    # fused computation bodies: name -> (params_sig, body)
-    comps = {}
+    Computations are parsed into per-body symbol tables (param + local
+    instruction result shapes) so conv/dot FLOPs resolve their by-name
+    operands; fusion FLOPs/ops recurse into nested called computations.
+    Traffic = fused-computation parameter shapes + result shape (an upper
+    estimate of HBM bytes: assumes no cross-fusion reuse)."""
+    comps = {}  # name -> (sig, body)
     for m in re.finditer(
-            r"^%?([\w.\-]+)\s*\(([^)]*)\)\s*->\s*[^\{]+\{(.*?)^\}",
-            hlo, re.M | re.S):
+            r"^(?:ENTRY\s+)?%?([\w.\-]+)\s*\(([^)]*)\)\s*->\s*[^\{]+\{\n"
+            r"(.*?)^\}", hlo, re.M | re.S):
         comps[m.group(1)] = (m.group(2), m.group(3))
+
+    def symtab_for(sig: str, body: str):
+        tab = {}
+        for pm in re.finditer(r"([\w.\-]+):\s*(" + _SHAPE + ")", sig):
+            tab[pm.group(1)] = pm.group(2)
+        for lm in re.finditer(
+                r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*([^\n]+)$", body, re.M):
+            sm = re.search(_SHAPE, _result_head(lm.group(2)))
+            if sm:
+                tab[lm.group(1)] = sm.group(0)
+        return tab
+
+    _memo = {}
+
+    def comp_cost(comp_name: str):
+        """(flops, ops_set) of one computation, recursing into nested
+        fusions/calls."""
+        if comp_name in _memo:
+            return _memo[comp_name]
+        _memo[comp_name] = (0, set())  # cycle guard
+        if comp_name not in comps:
+            return _memo[comp_name]
+        sig, body = comps[comp_name]
+        tab = symtab_for(sig, body)
+        fl = 0
+        ops = set()
+        for line in body.splitlines():
+            if " convolution(" in line:
+                fl += conv_flops(line, tab)
+                ops.add("convolution")
+            elif " dot(" in line:
+                fl += dot_flops(line, tab)
+                ops.add("dot")
+            else:
+                calls = re.search(r"calls=%?([\w.\-]+)", line)
+                if calls:
+                    sub_fl, sub_ops = comp_cost(calls.group(1))
+                    fl += sub_fl
+                    ops |= sub_ops
+                else:
+                    om = re.search(r"=\s*\S+\s+([\w\-]+)\(", line)
+                    if om and om.group(1) in _INTERESTING_OPS:
+                        ops.add(om.group(1))
+        _memo[comp_name] = (fl, ops)
+        return _memo[comp_name]
 
     instrs = {}
     for m in re.finditer(
             r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*([^\n]+)$", hlo, re.M):
         name, defline = m.groups()
-        entry = {"defline": defline, "flops": 0, "param_bytes": 0,
-                 "result_bytes": 0, "ops": ""}
-        out_m = re.match(r"(\(?[\w\[\]\{\},\s]*\)?)", defline)
-        # result bytes: sum every shape before the op name (handles tuples)
-        head = defline.split(" ", 1)[0] if out_m else ""
+        entry = {"flops": 0, "param_bytes": 0, "result_bytes": 0, "ops": ""}
         entry["result_bytes"] = sum(
-            shape_bytes(s) for s in re.findall(_SHAPE, head))
+            shape_bytes(s) for s in re.findall(_SHAPE, _result_head(defline)))
         calls = re.search(r"calls=%?([\w.\-]+)", defline)
         if "fusion(" in defline and calls and calls.group(1) in comps:
-            sig, body = comps[calls.group(1)]
+            sig, _body = comps[calls.group(1)]
             entry["param_bytes"] = sum(
                 shape_bytes(s) for s in re.findall(_SHAPE, sig))
-            fl = 0
-            ops = set()
-            for line in body.splitlines():
-                if " convolution(" in line:
-                    fl += conv_flops(line)
-                    ops.add("convolution")
-                elif " dot(" in line:
-                    fl += dot_flops(line)
-                    ops.add("dot")
-                else:
-                    om = re.search(r"=\s*\S+\s+([\w\-]+)\(", line)
-                    if om and om.group(1) in (
-                            "reduce", "transpose", "scatter", "gather",
-                            "reduce-window", "select-and-scatter", "iota",
-                            "rng-bit-generator"):
-                        ops.add(om.group(1))
+            fl, ops = comp_cost(calls.group(1))
             entry["flops"] = fl
             entry["ops"] = ",".join(sorted(ops)) or "elementwise"
-        elif " convolution(" in defline:
-            entry["flops"] = conv_flops(defline)
-            entry["ops"] = "convolution"
-            # bare conv: operands are listed by name; approximate operand
-            # traffic with the shapes inline in the call
-            entry["param_bytes"] = sum(
-                shape_bytes(s)
-                for s in re.findall(_SHAPE, defline.split("convolution", 1)[1]))
-        elif " dot(" in defline:
-            entry["flops"] = dot_flops(defline)
-            entry["ops"] = "dot"
-            entry["param_bytes"] = sum(
-                shape_bytes(s)
-                for s in re.findall(_SHAPE, defline.split("dot", 1)[1]))
         instrs[name] = entry
     return instrs
 
@@ -197,6 +226,8 @@ def main():
     p.add_argument("--out", default=None,
                    help="output json (default PERF_ROOFLINE[_EVAL].json)")
     p.add_argument("--trace_dir", default="/tmp/zsvc_roofline_prof")
+    p.add_argument("--hlo_out", default="",
+                   help="also dump the optimized HLO text here")
     args = p.parse_args()
 
     import jax
@@ -225,29 +256,19 @@ def main():
     z = jnp.asarray(rng.normal(size=(args.bs, 300)).astype(np.float32))
     w = jnp.ones((args.bs,), jnp.float32)
 
+    # inputs are ARGUMENTS, not closures: a closed-over batch becomes a
+    # baked-in constant (308 MB at eval bs128), which blows the relay's
+    # remote-compile request limit
     if args.eval:
         @jax.jit
-        def step(ts):
+        def step(ts, x):
             emb, _ = model.apply(ts.params, ts.model_state, x, train=False,
                                  compute_dtype=jnp.bfloat16)
             return TrainState(ts.params, ts.model_state, ts.opt_state,
                               ts.step + 1), emb
-
-        @jax.jit
-        def loop(ts):
-            # the per-iteration emb sum keeps the forward LIVE in the scan
-            # (a step-count-only carry lets XLA dead-code the whole model)
-            def body(carry, _):
-                t, acc = carry
-                t2, emb = step(t)
-                return (t2, acc + jnp.sum(emb)), ()
-            (out, acc), _ = jax.lax.scan(
-                body, (ts, jnp.zeros((), jnp.float32)), None,
-                length=args.scan_iters)
-            return acc
     else:
         @jax.jit
-        def step(ts):
+        def step(ts, x, z, w):
             def loss_fn(p):
                 emb, ns = model.apply(p, ts.model_state, x, train=True,
                                       compute_dtype=jnp.bfloat16)
@@ -259,31 +280,36 @@ def main():
             return TrainState(optax.apply_updates(ts.params, updates), ns,
                               opt_state, ts.step + 1)
 
-        @jax.jit
-        def loop(ts):
-            # returning a param-dependent scalar keeps the updates LIVE (a
-            # step-count-only result lets XLA dead-code the entire model)
-            def body(t, _):
-                return step(t), ()
-            out, _ = jax.lax.scan(body, ts, None, length=args.scan_iters)
-            return jnp.sum(out.params["head"]["fc2"]["w"]) + out.step
-
+    step_args = (ts, x) if args.eval else (ts, x, z, w)
     print("compiling...", flush=True)
-    compiled = step.lower(ts).compile()
+    compiled = step.lower(*step_args).compile()
     hlo = compiled.as_text()
+    if args.hlo_out:
+        with open(args.hlo_out, "w") as f:
+            f.write(hlo)
     cost = compiled.cost_analysis()
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
 
-    # honest step time: in-graph scan with scalar fetch
-    float(jax.device_get(loop(ts)))  # warm
-    t0 = time.perf_counter()
-    float(jax.device_get(loop(ts)))
-    step_ms = (time.perf_counter() - t0) / args.scan_iters * 1e3
-    print(f"step={step_ms:.2f} ms (in-graph x{args.scan_iters})", flush=True)
+    # honest step time: bench.py's in-graph fori_loop programs (already in
+    # the persistent compile cache on this harness; a fresh scan-of-step
+    # compile costs many tunnel-minutes for the same number)
+    import bench
+
+    if args.eval:
+        cps, step_s, _ = bench.run_eval_bench(
+            args.bs, args.clip_len, args.size, args.scan_iters,
+            "r2plus1d_18", smoke=False)
+    else:
+        cps, step_s, _ = bench.run_bench(
+            args.bs, args.clip_len, args.size, args.scan_iters,
+            "r2plus1d_18", smoke=False)
+    step_ms = step_s * 1e3
+    print(f"step={step_ms:.2f} ms ({cps:.1f} clips/s/chip, in-graph "
+          f"x{args.scan_iters})", flush=True)
 
     # per-fusion timing via the device trace of the single-step program
     def run_once(t):
-        out = step(t)
+        out = step(t, x) if args.eval else step(t, x, z, w)
         return out[0] if args.eval else out
 
     cur = run_once(ts)
@@ -359,8 +385,9 @@ def main():
     tail_ms = profiled_ms - sum(r["ms"] for r in rows if r["ms"] >= 0.1)
     total_flops = float(cost.get("flops", 0)) if cost else 0
     total_bytes = float(cost.get("bytes accessed", 0)) if cost else 0
-    prog_bound_ms = max(total_flops / peak_flops,
-                        total_bytes / peak_bw) * 1e3
+    # FLOPs-only: XLA's 'bytes accessed' counts every operand at full size
+    # with no fusion awareness, so it is NOT a traffic lower bound
+    prog_bound_ms = total_flops / peak_flops * 1e3
     out = {
         "program": "eval_forward" if args.eval else "train_step",
         "shape": {"bs": args.bs, "clip_len": args.clip_len,
@@ -382,9 +409,9 @@ def main():
         "unmodeled_tail_ms": round(tail_ms, 3),
         "program_level": {
             "xla_gflops": round(total_flops / 1e9, 2),
-            "xla_gbytes_accessed": round(total_bytes / 1e9, 3),
-            "roofline_lower_bound_ms": round(prog_bound_ms, 3),
-            "measured_over_bound":
+            "xla_gbytes_accessed_unfused": round(total_bytes / 1e9, 3),
+            "flops_lower_bound_ms": round(prog_bound_ms, 3),
+            "measured_over_flops_bound":
                 round(step_ms / prog_bound_ms, 3) if prog_bound_ms else None,
         },
         "fusions": rows,
