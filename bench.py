@@ -161,7 +161,7 @@ def _make_disk_fixture(root: str, n_videos: int, n_frames: int,
 
 
 def run_e2e(bs: int, clip_len: int, size: int, steps: int, network: str,
-            source: str, smoke: bool):
+            source: str, smoke: bool, h2d_window: bool = True):
     """END-TO-END training throughput: HostPipeline decode (synthetic render
     or on-disk JPEG via the native decoder) -> canvas pack -> H2D ->
     fused device transform -> jitted train step.
@@ -204,7 +204,7 @@ def run_e2e(bs: int, clip_len: int, size: int, steps: int, network: str,
     )
 
     config = Config(network=network, head="mlp", bs=bs, clip_len=clip_len,
-                    size=size)
+                    size=size, h2d_window=h2d_window)
     n_videos = max(2 * bs, 32) if not smoke else 2 * bs
     n_classes = 8
     rng = np.random.default_rng(0)
@@ -304,6 +304,9 @@ def main():
                    choices=["synthetic", "disk"],
                    help="--e2e input: synthetic render or on-disk JPEG "
                         "frame dirs (native decoder)")
+    p.add_argument("--no_h2d_window", action="store_true",
+                   help="e2e: ship the FULL canvas instead of the "
+                        "crop-source window (A/B the H2D byte cut)")
     p.add_argument("--smoke", action="store_true",
                    help="tiny CPU run (CI sanity, meaningless absolute numbers)")
     p.add_argument("--remat", nargs="?", const="full", default=False,
@@ -331,7 +334,8 @@ def main():
 
     if args.e2e:
         r = run_e2e(args.bs, args.clip_len, args.size, args.steps,
-                    args.network, args.source, args.smoke)
+                    args.network, args.source, args.smoke,
+                    h2d_window=not args.no_h2d_window)
         value = r["e2e_clips_per_sec"] / r["n_chips"]
         print(json.dumps({
             "metric": f"e2e_train_clips_per_sec_per_chip_{args.network}"

@@ -80,7 +80,8 @@ def test_video_loader_through_pipeline(tmp_path):
     batches = list(HostPipeline(table, cfg, 2, seed=0))
     assert len(batches) == 1
     hb = batches[0]
-    assert hb.canvas.shape == (2, 4, 192, 224, 3)
+    # h2d_window default: static crop-source window of the 192x224 canvas
+    assert hb.canvas.shape == (2, 4, 170, 170, 3)
     np.testing.assert_array_equal(hb.weight, [1.0, 0.0])  # bad file masked
     assert hb.label[0] == 0
 

@@ -45,8 +45,13 @@ def test_pipeline_shapes_and_determinism():
         np.testing.assert_array_equal(a.x0, b.x0)
         np.testing.assert_array_equal(a.label, b.label)
     hb = p1[0]
-    assert hb.canvas.shape == (4, 4, 192, 224, 3)
+    # h2d_window (default): the canvas ships only the crop's static
+    # worst-case source window — ceil(112 * 192/128) + 2 = 170 per axis here
+    assert hb.canvas.shape == (4, 4, 170, 170, 3)
     assert hb.weight.sum() == 4
+    cfg_full = cfg.replace(h2d_window=False)
+    hb_full = next(iter(HostPipeline(table, cfg_full, 4, seed=7)))
+    assert hb_full.canvas.shape == (4, 4, 192, 224, 3)
 
 
 def test_pipeline_epoch_reshuffles():
@@ -327,3 +332,25 @@ def test_prefetch_propagates_decode_errors(monkeypatch):
     monkeypatch.setattr(pipe, "_decode_one", boom)
     with pytest.raises(RuntimeError, match="decoder exploded"):
         list(pipe)
+
+
+def test_h2d_window_equivalent_to_full_canvas():
+    """The windowed canvas (default) and the full canvas must produce
+    IDENTICAL device batches — the window is pure uint8 indexing with
+    rebased gather indices, for both train (random crop/flip) and
+    validation (center crop) sampling."""
+    from zeroshotvideoclassification_tpu.data.pipeline import device_batch
+
+    for split in ("training", "testing"):
+        cfg = _cfg()
+        ds = build_datasets(cfg, None)
+        table = ds[split][0]
+        hb_w = next(iter(HostPipeline(table, cfg, 4, seed=11)))
+        hb_f = next(iter(HostPipeline(table, cfg.replace(h2d_window=False),
+                                      4, seed=11)))
+        assert hb_w.canvas.nbytes < hb_f.canvas.nbytes
+        a = device_batch(hb_w, table.n_clips, cfg.clip_len)
+        b = device_batch(hb_f, table.n_clips, cfg.clip_len)
+        np.testing.assert_array_equal(np.asarray(a["x"]), np.asarray(b["x"]))
+        np.testing.assert_array_equal(np.asarray(a["weight"]),
+                                      np.asarray(b["weight"]))

@@ -92,6 +92,12 @@ class Config:
                                       # activation HBM traffic)
     decode_workers: int = 0           # 0 = os.cpu_count()
     canvas_hw: Tuple[int, int] = (256, 342)  # host uint8 canvas (static shape)
+    h2d_window: bool = True           # ship only the crop's source window of
+                                      # the canvas to the device (static
+                                      # worst-case size, per-sample offset):
+                                      # cuts ~40% of H2D bytes at the default
+                                      # shapes with identical outputs
+                                      # (tests/test_pipeline.py equivalence)
     epoch_sample_cap: int = 100_000   # reference caps train epoch (main.py:208)
     eval_n_clips_both: int = 4        # dataset.py:134: max(2*2, n_clips) under
                                       # --evaluate on the 'both' route
@@ -222,6 +228,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "are letterboxed onto this before the on-device "
                         "resample; default matches the reference's 256x342 "
                         "resize target")
+    p.add_argument("--h2d_window", action=argparse.BooleanOptionalAction,
+                   default=d.h2d_window,
+                   help="ship only the crop-referenced canvas window to the "
+                        "device (static shape, ~40%% fewer H2D bytes; "
+                        "--no-h2d_window restores the full canvas)")
     p.add_argument("--steps_per_call", default=d.steps_per_call, type=int)
     p.add_argument("--remat", nargs="?", const="full", default=False,
                    choices=["full", "convs"])

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import concurrent.futures as cf
 import dataclasses
+import math
 from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
@@ -31,6 +32,7 @@ import numpy as np
 from zeroshotvideoclassification_tpu.data.datasets import VideoTable
 from zeroshotvideoclassification_tpu.data.decode import DECODERS
 from zeroshotvideoclassification_tpu.data.transform_params import (
+    ResampleIndices,
     TransformParams,
     make_transform_params,
     resample_indices,
@@ -168,6 +170,22 @@ class HostPipeline:
                           interpolation=cv2.INTER_LINEAR)
 
     # --------------------------------------------------------------- batch --
+    def _window_hw(self):
+        """Static (H, W) of the H2D canvas window.
+
+        The device gather references only the crop's source footprint:
+        per axis at most ceil(crop / scale) + 2 source rows, and scale =
+        short_side / min(h, w) >= short_side / min(canvas_hw) because frames
+        are pre-fit to the canvas. Shipping a per-sample window of this
+        STATIC worst-case size (offset = the sample's first referenced row,
+        pure uint8 indexing) cuts the dead H2D bytes — e.g. 226x342 instead
+        of 256x342 rows x 226/342 cols at the default shapes, a ~42% byte
+        cut — without changing any device shape across batches."""
+        ch, cw = self.canvas_hw
+        max_rscale = min(ch, cw) / float(self.short_side)
+        ext = int(math.ceil(self.crop * max_rscale)) + 2
+        return min(ch, ext), min(cw, ext)
+
     def _assemble(self, decoded, labels) -> HostBatch:
         if self.table.loader == "image":
             return self._assemble_image(decoded, labels)
@@ -175,7 +193,6 @@ class HostPipeline:
         b = len(decoded)
         nc_cl = t.n_clips * self.config.clip_len
         ch, cw = self.canvas_hw
-        canvas = np.zeros((b, nc_cl, ch, cw, 3), np.uint8)
         src_hw = np.ones((b, 2), np.int32)
         weight = np.zeros((b,), np.float32)
         label = np.full((b,), -1, np.int32)
@@ -184,15 +201,38 @@ class HostPipeline:
         for k, frames in enumerate(decoded):
             if frames is None:
                 continue
-            fh, fw = frames.shape[1], frames.shape[2]
-            canvas[k, :, :fh, :fw] = frames
-            src_hw[k] = (fh, fw)
+            src_hw[k] = (frames.shape[1], frames.shape[2])
             weight[k] = 1.0
             label[k] = labels[k]
             z[k] = t.class_embed[labels[k]]
         params = make_transform_params(
             src_hw, self.crop, t.is_validation, rng, self.short_side)
         idx = resample_indices(params, self.crop)
+
+        window = bool(getattr(self.config, "h2d_window", True))
+        wh, ww = self._window_hw() if window else (ch, cw)
+        if window and (wh, ww) != (ch, cw):
+            # per-sample window offset = first referenced source row/col,
+            # clamped so the static window stays inside the canvas; the
+            # gather indices are rebased into window coordinates
+            off_y = np.clip(idx.y0.min(axis=1), 0, ch - wh).astype(np.int64)
+            off_x = np.clip(np.minimum(idx.x0.min(axis=1),
+                                       idx.x1.min(axis=1)),
+                            0, cw - ww).astype(np.int64)
+            idx = ResampleIndices(
+                y0=(idx.y0 - off_y[:, None]).astype(np.int32),
+                y1=(idx.y1 - off_y[:, None]).astype(np.int32), wy=idx.wy,
+                x0=(idx.x0 - off_x[:, None]).astype(np.int32),
+                x1=(idx.x1 - off_x[:, None]).astype(np.int32), wx=idx.wx)
+        else:
+            off_y = off_x = np.zeros((b,), np.int64)
+
+        canvas = np.zeros((b, nc_cl, wh, ww, 3), np.uint8)
+        for k, frames in enumerate(decoded):
+            if frames is None:
+                continue
+            win = frames[:, off_y[k]:off_y[k] + wh, off_x[k]:off_x[k] + ww]
+            canvas[k, :, :win.shape[1], :win.shape[2]] = win
         return HostBatch(
             canvas=canvas, y0=idx.y0, y1=idx.y1, wy=idx.wy,
             x0=idx.x0, x1=idx.x1, wx=idx.wx,
