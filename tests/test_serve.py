@@ -1,0 +1,178 @@
+"""Serving front-end: micro-batcher semantics, engine parity with the
+one-shot CLI, and the HTTP endpoint end to end (stdlib client, CPU mesh)."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from zeroshotvideoclassification_tpu.serve.batcher import MicroBatcher
+
+
+# ------------------------------------------------------------ batcher -------
+
+def test_microbatcher_coalesces_and_preserves_order():
+    gate = threading.Event()
+    calls = []
+
+    def process(items):
+        calls.append(list(items))
+        if not gate.is_set():
+            gate.wait(timeout=10)
+        return [x * 10 for x in items]
+
+    b = MicroBatcher(process, max_batch=8, max_wait_s=0.05)
+    try:
+        f0 = b.submit(1)  # occupies the worker (blocked on the gate)
+        time.sleep(0.2)
+        futs = [b.submit(i) for i in (2, 3, 4, 5)]  # queue while blocked
+        gate.set()
+        assert f0.result(timeout=10) == 10
+        assert [f.result(timeout=10) for f in futs] == [20, 30, 40, 50]
+        # batch 1 = the lone first item; batch 2 = the four queued together
+        assert calls[0] == [1] and calls[1] == [2, 3, 4, 5]
+        s = b.stats()
+        assert s["requests"] == 5 and s["batches"] == 2
+    finally:
+        b.shutdown()
+
+
+def test_microbatcher_respects_max_batch():
+    done = []
+
+    def process(items):
+        done.append(len(items))
+        return list(items)
+
+    b = MicroBatcher(process, max_batch=3, max_wait_s=0.2)
+    try:
+        futs = [b.submit(i) for i in range(7)]
+        assert [f.result(timeout=10) for f in futs] == list(range(7))
+        assert max(done) <= 3 and sum(done) == 7
+    finally:
+        b.shutdown()
+
+
+def test_microbatcher_propagates_errors_per_batch():
+    def process(items):
+        raise ValueError("boom")
+
+    b = MicroBatcher(process, max_batch=4, max_wait_s=0.01)
+    try:
+        f = b.submit(1)
+        with pytest.raises(ValueError, match="boom"):
+            f.result(timeout=10)
+    finally:
+        b.shutdown()
+
+
+# ----------------------------------------------------- engine + server ------
+
+@pytest.fixture(scope="module")
+def serving(tmp_path_factory):
+    """One engine + HTTP server for the module (model init is the slow
+    part on this 1-core host); 4 npy fixture videos + synthetic vectors."""
+    from zeroshotvideoclassification_tpu.serve import (
+        InferenceEngine,
+        start_server,
+    )
+    from zeroshotvideoclassification_tpu.text import classes2embedding
+    from zeroshotvideoclassification_tpu.text.word2vec import (
+        SyntheticWordVectors,
+    )
+
+    tmp = tmp_path_factory.mktemp("serve")
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(4):
+        p = tmp / f"clip{i}.npy"
+        np.save(p, rng.integers(0, 256, (12, 64, 86, 3), dtype=np.uint8))
+        paths.append(str(p))
+    classes = ["playing guitar", "riding a horse", "washing dishes"]
+    class_embed = classes2embedding("kinetics", classes,
+                                    SyntheticWordVectors())
+    engine = InferenceEngine(
+        classes, class_embed, network="r3d_18", head="mlp", weights=None,
+        n_clips=2, clip_len=2, size=32, max_batch=4,
+        compute_dtype="float32")
+    server, service = start_server(engine, port=0, max_wait_s=0.3)
+    yield {"engine": engine, "server": server, "service": service,
+           "paths": paths, "classes": classes, "class_embed": class_embed,
+           "port": server.server_address[1]}
+    server.shutdown()
+    service.close()
+
+
+def test_engine_matches_oneshot_cli(serving):
+    """The always-on engine must score exactly like the one-shot CLI path
+    (same checkpoint semantics, loaders, TSN windows, ranking)."""
+    import argparse
+
+    from zeroshotvideoclassification_tpu.cli.infer import classify_videos
+
+    args = argparse.Namespace(
+        network="r3d_18", head="mlp", weights=None, n_clips=2, clip_len=2,
+        size=32, bs=4, top_k=5, compute_dtype="float32")
+    want = classify_videos(serving["paths"], serving["classes"],
+                           serving["class_embed"], args)
+    got = serving["engine"].classify(serving["paths"])
+    for g, w in zip(got, want):
+        assert g["top_class"] == w["top_class"]
+        np.testing.assert_allclose(
+            [t["similarity"] for t in g["topk"]],
+            [t["similarity"] for t in w["topk"]], atol=1e-5)
+
+
+def test_service_coalesces_concurrent_requests(serving):
+    service, engine = serving["service"], serving["engine"]
+    # warm the compiled shape so the batching window isn't eaten by compile
+    service.classify([serving["paths"][0]])
+    before = engine.n_dispatches
+    results = service.classify(serving["paths"])  # 4 submits, one window
+    assert len(results) == 4
+    assert all("top_class" in r for r in results)
+    assert engine.n_dispatches == before + 1  # ONE device dispatch for all 4
+
+
+def test_http_endpoints(serving):
+    port = serving["port"]
+
+    def get(path):
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+            return json.loads(r.read())
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            return json.loads(r.read())
+
+    h = get("/healthz")
+    assert h["status"] == "ok" and h["classes"] == 3
+
+    one = post("/classify", {"video": serving["paths"][0]})
+    assert one["top_class"] in serving["classes"]
+
+    many = post("/classify", {"videos": serving["paths"][:2]})
+    assert len(many["results"]) == 2
+
+    missing = post("/classify", {"video": "/nope/missing.npy"})
+    assert missing.get("error") == "decode failed"
+
+    s = get("/stats")
+    assert s["engine"]["dispatches"] >= 1
+    assert s["batcher"]["requests"] >= 3
+
+    # malformed request -> 400, server stays alive
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/classify", data=b"{}",
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req)
+    assert exc.value.code == 400
+    assert get("/healthz")["status"] == "ok"

@@ -26,7 +26,7 @@ import dataclasses
 import json
 import os
 import sys
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -59,23 +59,18 @@ def build_class_embeddings(class_names: Sequence[str], rule: str,
     return classes2embedding(rule, class_names, wv)
 
 
-def classify_videos(
-    videos: Sequence[str],
-    class_names: Sequence[str],
-    class_embed: np.ndarray,
-    args,
-) -> List[dict]:
-    """Embed every video (n_clips TSN windows, clip-mean) and rank classes."""
+def build_scoring_state(network: str, head: str, weights: Optional[str],
+                        config):
+    """(model, state, eval_step) for inference — shared by this CLI and the
+    serving front-end (serve/engine.py). Checkpoint semantics: strict
+    full-checkpoint load first; KeyError/ValueError (no __meta__ /
+    section mismatch) falls back to a non-strict port, which must load at
+    least one tensor; other errors propagate — silently scoring a
+    random-init model is the failure mode the strict path prevents."""
     import jax
+    import jax.numpy as jnp
 
-    from zeroshotvideoclassification_tpu.config import Config
-    from zeroshotvideoclassification_tpu.data.datasets import VideoTable
-    from zeroshotvideoclassification_tpu.data.pipeline import (
-        HostPipeline,
-        device_batch,
-    )
     from zeroshotvideoclassification_tpu.models import get_network
-    from zeroshotvideoclassification_tpu.ops.cdist import cosine_distances
     from zeroshotvideoclassification_tpu.train import (
         create_train_state,
         load_checkpoint,
@@ -84,47 +79,60 @@ def classify_videos(
         warm_start,
     )
 
+    model = get_network(config)
+    state = create_train_state(model, make_optimizer(config.lr),
+                               jax.random.PRNGKey(0))
+    if weights and weights != "none":
+        try:  # full framework checkpoint (params + BN stats, strict)
+            state, meta = load_checkpoint(
+                weights, state, strict_sections=("params", "model_state"))
+            print(f"LOADED CHECKPOINT: {weights} "
+                  f"(epoch {meta.get('epoch')}, acc {meta.get('accuracy')})",
+                  file=sys.stderr)
+        except (KeyError, ValueError):
+            params, mstate, n = warm_start(
+                weights, state.params, state.model_state,
+                network=network, head=head)
+            if n == 0:
+                raise SystemExit(
+                    f"--weights {weights!r}: 0 tensors matched the "
+                    f"--network {network!r} / --head {head!r} "
+                    f"layout; refusing to score a random-init model")
+            state = dataclasses.replace(state, params=params,
+                                        model_state=mstate)
+            print(f"LOADED MODEL: {weights} ({n} tensors)", file=sys.stderr)
+    else:
+        print("WARNING: no --weights; scoring a random-init model",
+              file=sys.stderr)
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+        config.compute_dtype]
+    return model, state, make_eval_step(model, compute_dtype=dtype)
+
+
+def classify_videos(
+    videos: Sequence[str],
+    class_names: Sequence[str],
+    class_embed: np.ndarray,
+    args,
+) -> List[dict]:
+    """Embed every video (n_clips TSN windows, clip-mean) and rank classes."""
+    import jax
+    import jax.numpy as jnp
+
+    from zeroshotvideoclassification_tpu.config import Config
+    from zeroshotvideoclassification_tpu.data.datasets import VideoTable
+    from zeroshotvideoclassification_tpu.data.pipeline import (
+        HostPipeline,
+        device_batch,
+    )
+    from zeroshotvideoclassification_tpu.ops.cdist import cosine_distances
+
     config = Config(network=args.network, head=args.head, bs=args.bs,
                     clip_len=args.clip_len, size=args.size,
                     n_clips=args.n_clips,
                     compute_dtype=args.compute_dtype)
-    model = get_network(config)
-    state = create_train_state(model, make_optimizer(config.lr),
-                               jax.random.PRNGKey(0))
-    if args.weights and args.weights != "none":
-        try:  # full framework checkpoint (params + BN stats, strict)
-            state, meta = load_checkpoint(
-                args.weights, state, strict_sections=("params", "model_state"))
-            print(f"LOADED CHECKPOINT: {args.weights} "
-                  f"(epoch {meta.get('epoch')}, acc {meta.get('accuracy')})",
-                  file=sys.stderr)
-        except (KeyError, ValueError):
-            # not a full framework checkpoint (no __meta__: a ported-weights
-            # npz or torch .pth/.pickle) or a strict section mismatch ->
-            # non-strict port. Anything else — corrupt file, IO error —
-            # propagates: silently scoring a random-init model is the failure
-            # mode the strict path exists to prevent.
-            params, mstate, n = warm_start(
-                args.weights, state.params, state.model_state,
-                network=args.network, head=args.head)
-            if n == 0:
-                raise SystemExit(
-                    f"--weights {args.weights!r}: 0 tensors matched the "
-                    f"--network {args.network!r} / --head {args.head!r} "
-                    f"layout; refusing to score a random-init model")
-            state = dataclasses.replace(state, params=params,
-                                        model_state=mstate)
-            print(f"LOADED MODEL: {args.weights} ({n} tensors)",
-                  file=sys.stderr)
-    else:
-        print("WARNING: no --weights; scoring a random-init model",
-              file=sys.stderr)
-
-    import jax.numpy as jnp
-
-    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
-        args.compute_dtype]
-    eval_step = make_eval_step(model, compute_dtype=dtype)
+    model, state, eval_step = build_scoring_state(
+        args.network, args.head, args.weights, config)
 
     # group by loader so each group is one homogeneous VideoTable; results
     # are keyed by POSITION in --videos (a path listed twice gets a result
@@ -171,11 +179,8 @@ def classify_videos(
     return results
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser(
-        description="Zero-shot classify videos against arbitrary class names")
-    p.add_argument("--videos", nargs="+", required=True,
-                   help="frame dirs / video files / .npy clip stacks")
+def add_class_and_model_args(p: argparse.ArgumentParser) -> None:
+    """Class-embedding + model flags shared with cli/serve.py."""
     p.add_argument("--classes", nargs="*", default=None,
                    help="candidate class names (zero-shot: any names)")
     p.add_argument("--classes_file", default=None,
@@ -204,8 +209,10 @@ def main(argv=None):
     p.add_argument("--class_embed", default=None,
                    help="precomputed class embeddings: .npz with 'classes' "
                         "and 'embeddings' [C,300] (skips word2vec)")
-    args = p.parse_args(argv)
 
+
+def resolve_classes(args):
+    """(class_names, class_embed [C,300] unit rows) from the shared flags."""
     if args.class_embed:
         z = np.load(args.class_embed, allow_pickle=False)
         class_names = [str(c) for c in z["classes"]]
@@ -224,7 +231,18 @@ def main(argv=None):
                              "or --class_embed")
         class_embed = build_class_embeddings(class_names, args.class_rule,
                                              args)
+    return class_names, class_embed
 
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="Zero-shot classify videos against arbitrary class names")
+    p.add_argument("--videos", nargs="+", required=True,
+                   help="frame dirs / video files / .npy clip stacks")
+    add_class_and_model_args(p)
+    args = p.parse_args(argv)
+
+    class_names, class_embed = resolve_classes(args)
     results = classify_videos(args.videos, class_names, class_embed, args)
     for r in results:
         print(json.dumps(r))

@@ -1,0 +1,64 @@
+"""Always-on zero-shot classification service (HTTP, micro-batched).
+
+The serving counterpart to cli/infer.py's one-shot mode: load a checkpoint
+and class set once, then answer POST /classify requests with request
+coalescing — concurrent requests share one device dispatch (the forward
+amortizes with batch and is compute-walled at large batch; ROADMAP "serving
+batch scaling", PERF_ROOFLINE_EVAL.json).
+
+  python -m zeroshotvideoclassification_tpu.cli.serve \\
+      --weights runs/.../checkpoint.npz --network r2plus1d_18 \\
+      --classes "playing guitar" "riding a horse" --port 8000
+
+  curl -s localhost:8000/classify -d '{"video": "/data/clip1.mp4"}'
+  curl -s localhost:8000/healthz
+  curl -s localhost:8000/stats
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    from zeroshotvideoclassification_tpu.cli.infer import (
+        add_class_and_model_args,
+    )
+
+    p = argparse.ArgumentParser(
+        description="Serve zero-shot video classification over HTTP")
+    add_class_and_model_args(p)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max_batch", type=int, default=16,
+                   help="static device batch; concurrent requests coalesce "
+                        "up to this many per dispatch")
+    p.add_argument("--max_wait_ms", type=float, default=10.0,
+                   help="batching window after the first queued request")
+    return p
+
+
+def main(argv=None):
+    args = build_arg_parser().parse_args(argv)
+    from zeroshotvideoclassification_tpu.cli.infer import resolve_classes
+    from zeroshotvideoclassification_tpu.serve import (
+        InferenceEngine,
+        serve_forever,
+    )
+
+    class_names, class_embed = resolve_classes(args)
+    engine = InferenceEngine(
+        class_names, class_embed, network=args.network, head=args.head,
+        weights=args.weights, n_clips=args.n_clips, clip_len=args.clip_len,
+        size=args.size, max_batch=args.max_batch,
+        compute_dtype=args.compute_dtype, top_k=args.top_k)
+    print(f"serving {args.network} ({len(class_names)} classes) on "
+          f"http://{args.host}:{args.port}  (max_batch={args.max_batch}, "
+          f"window={args.max_wait_ms}ms)", file=sys.stderr)
+    serve_forever(engine, args.host, args.port,
+                  max_wait_s=args.max_wait_ms / 1e3)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Micro-batching request queue for the serving front-end.
+
+The serving forward amortizes strongly with batch on TPU (measured
+969 -> 1431 clips/s/chip from bs16 to bs128, ROADMAP "serving batch
+scaling") and is compute-walled at large batch (PERF_ROOFLINE_EVAL.json) —
+so a production endpoint must coalesce concurrent requests into one device
+dispatch instead of dispatching per request. This module is the generic
+half: callers submit items and block on a Future; a single worker thread
+drains the queue into batches of at most `max_batch`, waiting at most
+`max_wait_s` after the first item of a batch arrives (classic
+max-batch/max-delay policy), and hands each batch to `process_batch`.
+
+Device dispatch stays single-threaded by construction (one worker), which
+both matches XLA's dispatch model and keeps compiled-shape reuse trivial:
+`process_batch` pads to its static shape internally.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Callable, List, Sequence
+
+
+class MicroBatcher:
+    def __init__(
+        self,
+        process_batch: Callable[[Sequence], List],
+        max_batch: int = 16,
+        max_wait_s: float = 0.01,
+    ):
+        """`process_batch(items) -> results` (same length/order) runs on the
+        worker thread; exceptions there fail every future of that batch."""
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self.process_batch = process_batch
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_s
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self.n_requests = 0
+        self.n_batches = 0
+        self.batch_sizes: List[int] = []
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, item) -> Future:
+        if self._stop.is_set():
+            raise RuntimeError("batcher is shut down")
+        fut: Future = Future()
+        self._q.put((item, fut))
+        return fut
+
+    def __call__(self, item):
+        """Blocking convenience: submit + wait."""
+        return self.submit(item).result()
+
+    def _collect(self):
+        """Block for the first item, then drain up to max_batch within the
+        wait window."""
+        try:
+            first = self._q.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                # window closed: take only what is already queued
+                try:
+                    batch.append(self._q.get_nowait())
+                    continue
+                except queue.Empty:
+                    break
+            try:
+                batch.append(self._q.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _run(self):
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            items = [it for it, _ in batch]
+            futures = [f for _, f in batch]
+            self.n_requests += len(batch)
+            self.n_batches += 1
+            self.batch_sizes.append(len(batch))
+            try:
+                results = self.process_batch(items)
+                if len(results) != len(items):
+                    raise RuntimeError(
+                        f"process_batch returned {len(results)} results "
+                        f"for {len(items)} items")
+            except BaseException as e:
+                for f in futures:
+                    if not f.done():
+                        f.set_exception(e)
+                continue
+            for f, r in zip(futures, results):
+                f.set_result(r)
+
+    def shutdown(self, timeout: float = 5.0):
+        self._stop.set()
+        self._worker.join(timeout=timeout)
+
+    def stats(self) -> dict:
+        sizes = self.batch_sizes[-1000:]
+        return {
+            "requests": self.n_requests,
+            "batches": self.n_batches,
+            "mean_batch": (sum(sizes) / len(sizes)) if sizes else 0.0,
+            "max_batch_seen": max(sizes) if sizes else 0,
+        }

@@ -1,0 +1,138 @@
+"""Inference engine: checkpoint + class names -> batched zero-shot scoring.
+
+The device half of the serving front-end. One engine owns the model, the
+scoring state and ONE compiled eval shape ([max_batch, n_clips, T, S, S, 3],
+zero-weight padded — the training pipeline's broken-sample convention), so
+every micro-batch the batcher hands over reuses the same executable. Decode
+runs in the caller's threads (GIL-free native JPEG/libav decoders); the
+engine itself only packs, dispatches, and ranks.
+
+The reference has no serving story at all — its user journey ends at
+dataset-level evaluation (/root/reference/main.py:224-325); cli/infer.py
+packages one-shot classification, and this engine is the always-on version
+with request coalescing (the forward amortizes 969 -> 1431 clips/s/chip
+from bs16 to bs128; ROADMAP "serving batch scaling").
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+class InferenceEngine:
+    def __init__(
+        self,
+        class_names: Sequence[str],
+        class_embed: np.ndarray,
+        network: str = "r2plus1d_18",
+        head: str = "mlp",
+        weights: Optional[str] = None,
+        n_clips: int = 4,
+        clip_len: int = 16,
+        size: int = 112,
+        max_batch: int = 16,
+        compute_dtype: str = "bfloat16",
+        top_k: int = 5,
+    ):
+        from zeroshotvideoclassification_tpu.cli.infer import (
+            build_scoring_state,
+        )
+        from zeroshotvideoclassification_tpu.config import Config
+
+        self.class_names = list(class_names)
+        self.class_embed = np.asarray(class_embed, np.float32)
+        self.top_k = min(top_k, len(self.class_names))
+        self.max_batch = max_batch
+        self.config = Config(network=network, head=head, bs=max_batch,
+                             clip_len=clip_len, size=size, n_clips=n_clips,
+                             compute_dtype=compute_dtype)
+        self.model, self.state, self.eval_step = build_scoring_state(
+            network, head, weights, self.config)
+        self.n_dispatches = 0
+        self.device_seconds = 0.0
+
+    # ------------------------------------------------------------- embed ----
+    def embed_paths(self, paths: Sequence[str]):
+        """paths (<= max_batch, one loader kind per call group is NOT
+        required — they are grouped here) -> (emb [n, 300], ok [n])."""
+        import jax
+
+        from zeroshotvideoclassification_tpu.cli.infer import detect_loader
+        from zeroshotvideoclassification_tpu.data.datasets import VideoTable
+        from zeroshotvideoclassification_tpu.data.pipeline import (
+            HostPipeline,
+            device_batch,
+        )
+
+        n = len(paths)
+        if n > self.max_batch:
+            raise ValueError(f"{n} paths > max_batch {self.max_batch}")
+        emb = np.zeros((n, self.class_embed.shape[1]), np.float32)
+        ok = np.zeros((n,), bool)
+        by_loader: Dict[str, list] = {}
+        for i, p in enumerate(paths):
+            by_loader.setdefault(detect_loader(p), []).append(i)
+        for loader, idxs in by_loader.items():
+            table = VideoTable(
+                name="serve", fnames=np.asarray([paths[i] for i in idxs],
+                                                object),
+                label_idx=np.zeros(len(idxs), np.int32),
+                classes=self.class_names, class_embed=self.class_embed,
+                loader=loader, is_validation=True,
+                n_clips=self.config.n_clips)
+            # ONE padded batch at the engine's static shape (prefetch off:
+            # a single batch has nothing to overlap)
+            cfg = self.config.replace(prefetch_depth=0)
+            hb = next(iter(HostPipeline(table, cfg, self.max_batch, seed=0)))
+            batch = device_batch(hb, table.n_clips, self.config.clip_len)
+            t0 = time.perf_counter()
+            out = self.eval_step(self.state.params, self.state.model_state,
+                                 batch["x"])
+            out = np.asarray(jax.device_get(out))
+            self.device_seconds += time.perf_counter() - t0
+            self.n_dispatches += 1
+            w = np.asarray(jax.device_get(batch["weight"]))
+            for row, i in enumerate(idxs):
+                emb[i] = out[row]
+                ok[i] = w[row] > 0
+        return emb, ok
+
+    # ----------------------------------------------------------- classify ---
+    def classify(self, paths: Sequence[str]) -> List[dict]:
+        """-> one result dict per path (cli/infer.py response schema)."""
+        from zeroshotvideoclassification_tpu.ops.cdist import (
+            cosine_distances,
+        )
+        import jax
+        import jax.numpy as jnp
+
+        emb, ok = self.embed_paths(paths)
+        dist = np.asarray(jax.device_get(cosine_distances(
+            jnp.asarray(emb), jnp.asarray(self.class_embed))))
+        rank = np.argsort(dist, axis=1)
+        results = []
+        for i, path in enumerate(paths):
+            if not ok[i]:
+                results.append({"video": path, "error": "decode failed"})
+                continue
+            results.append({
+                "video": path,
+                "top_class": self.class_names[int(rank[i, 0])],
+                "topk": [
+                    {"class": self.class_names[int(c)],
+                     "similarity": round(float(1.0 - dist[i, c]), 6)}
+                    for c in rank[i, : self.top_k]
+                ],
+            })
+        return results
+
+    def stats(self) -> dict:
+        return {
+            "dispatches": self.n_dispatches,
+            "device_seconds": round(self.device_seconds, 3),
+            "max_batch": self.max_batch,
+            "classes": len(self.class_names),
+        }
