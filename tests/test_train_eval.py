@@ -200,6 +200,61 @@ def test_warm_start_partial(tmp_path, rng):
         np.asarray(ts.params["head"]["fc1"]["w"]))
 
 
+def test_async_checkpointer_roundtrip_and_order(tmp_path, rng):
+    """Writes land atomically, in submission order; readback is identical to
+    a synchronous save_checkpoint of the same state."""
+    from zeroshotvideoclassification_tpu.train.async_ckpt import (
+        AsyncCheckpointer,
+    )
+
+    model = _tiny_model()
+    opt = make_optimizer(1e-2)
+    ts = create_train_state(model, opt, jax.random.PRNGKey(0))
+    ts_host = jax.tree.map(np.asarray, ts)
+    path = str(tmp_path / "last.npz")
+
+    ckpt = AsyncCheckpointer()
+    # two writes to the SAME path: the second (epoch 5) must win
+    ckpt.submit(path, ts_host, epoch=2, accuracy=1.0)
+    ckpt.submit(path, ts_host, epoch=5, accuracy=9.5, config_json='{"bs": 2}')
+    ckpt.wait()
+
+    fresh = create_train_state(model, opt, jax.random.PRNGKey(7))
+    restored, meta = load_checkpoint(path, fresh)
+    assert meta["epoch"] == 5 and abs(meta["accuracy"] - 9.5) < 1e-9
+    for a, b in zip(jax.tree.leaves(ts.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ckpt.close()
+
+
+def test_async_checkpointer_surfaces_write_errors(tmp_path, rng):
+    """A failed write re-raises on the next submit()/wait() instead of being
+    silently swallowed by the writer thread."""
+    import pytest
+
+    from zeroshotvideoclassification_tpu.train.async_ckpt import (
+        AsyncCheckpointer,
+    )
+
+    model = _tiny_model()
+    opt = make_optimizer(1e-2)
+    ts = jax.tree.map(np.asarray,
+                      create_train_state(model, opt, jax.random.PRNGKey(0)))
+    ckpt = AsyncCheckpointer()
+    # parent "dir" is a regular file -> os.makedirs/mkstemp must fail
+    (tmp_path / "not_a_dir").write_text("")
+    bad = str(tmp_path / "not_a_dir" / "ckpt.npz")
+    ckpt.submit(bad, ts, epoch=0, accuracy=0.0)
+    with pytest.raises(Exception):
+        ckpt.wait()
+    # the error is consumed; the writer keeps working afterwards
+    good = str(tmp_path / "ok.npz")
+    ckpt.submit(good, ts, epoch=1, accuracy=2.0)
+    ckpt.close()
+    assert load_checkpoint(good, create_train_state(
+        model, opt, jax.random.PRNGKey(3)))[1]["epoch"] == 1
+
+
 # ------------------------------------------------------------------ eval ----
 
 def _oracle_accuracy(pred, class_embed, true_embed):

@@ -236,7 +236,19 @@ class Experiment:
         # process 0 only (every process computes them redundantly)
         self.log = MetricsLogger(self.savename,
                                  write=jax.process_index() == 0)
+        self._ckpt = None  # lazy AsyncCheckpointer (process 0 only)
         self.best_acc = getattr(self, "best_acc_init", 0.0)
+
+    def _ckpt_writer(self):
+        """Lazy per-run AsyncCheckpointer: writes run on a single ordered
+        thread so the next epoch's steps overlap checkpoint disk IO."""
+        if self._ckpt is None:
+            from zeroshotvideoclassification_tpu.train.async_ckpt import (
+                AsyncCheckpointer,
+            )
+
+            self._ckpt = AsyncCheckpointer()
+        return self._ckpt
 
     # -------------------------------------------------------- pretrained ----
     def _warm_start_pretrained(self) -> None:
@@ -512,7 +524,10 @@ class Experiment:
                 # materialize on ALL processes (fetch_global is a collective
                 # when tensor-parallel shards span hosts), then write ONCE on
                 # process 0 — redundant per-process writes on a shared
-                # filesystem are atomic-but-racing wasted IO
+                # filesystem are atomic-but-racing wasted IO. The write
+                # itself runs on the async checkpointer thread so the next
+                # epoch's steps overlap the disk IO; atomicity (tmp +
+                # os.replace) keeps concurrent readers safe.
                 from zeroshotvideoclassification_tpu.parallel import (
                     fetch_global,
                 )
@@ -520,7 +535,7 @@ class Experiment:
                 state_host = jax.tree.map(fetch_global, self.state)
             if save_best:
                 if jax.process_index() == 0:
-                    save_checkpoint(
+                    self._ckpt_writer().submit(
                         os.path.join(self.savename, "checkpoint.npz"),
                         state_host, epoch, mean_acc, cfg.to_json())
                 self.best_acc = mean_acc
@@ -528,7 +543,7 @@ class Experiment:
                 # periodic full-state checkpoint for preemption recovery
                 # (--resume auto); the reference's best-only policy loses
                 # everything between accuracy improvements
-                save_checkpoint(
+                self._ckpt_writer().submit(
                     os.path.join(self.savename, "last.npz"),
                     state_host, epoch, self.best_acc, cfg.to_json())
             epoch_times.append(time.time() - t0)
@@ -537,6 +552,11 @@ class Experiment:
             if cfg.evaluate:
                 break
         summary["best_accuracy"] = self.best_acc
+        if self._ckpt is not None:
+            # drain pending writes before returning: callers (and --resume
+            # auto of a follow-up job) read these files right after
+            self._ckpt.close()
+            self._ckpt = None
         self.log.close()
         return summary
 
