@@ -14,6 +14,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -83,7 +84,10 @@ def run_bench(bs: int, clip_len: int, size: int, steps: int,
         return TrainState(
             optax.apply_updates(ts.params, updates), ns, opt_state, ts.step + 1)
 
-    @jax.jit
+    from zeroshotvideoclassification_tpu.utils.xla_tuning import (
+        tpu_compiler_options)
+
+    @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
     def multi(ts):
         return jax.lax.fori_loop(0, steps, lambda i, t: one_step(t), ts)
 

@@ -1,0 +1,143 @@
+"""A/B sweep of XLA:TPU compile options on the full train step.
+
+The committed roofline (PERF_ROOFLINE.json) shows the residual single-chip
+headroom lives INSIDE XLA's emitter: the big conv-backward fusions run at
+220-297 GB/s vs the 391 GB/s best-observed HBM rate, and the C=3 stem pair is
+layout-capped (five losing hand-kernel formulations on record, ROADMAP). The
+remaining program-level lever is the compiler's own knobs: `jax.jit` accepts
+per-computation `compiler_options`, so a framework can ship tuned XLA flags
+with zero model-code changes.
+
+This script times the SAME K-step in-graph loop as bench.py (the only honest
+timing on the axon relay) under each candidate option set and prints a
+ranked table vs the no-flags baseline. Candidates are public XLA:TPU flags
+seen in open JAX/T5X/MaxText configs; anything the compiler rejects is
+reported as REJECTED and skipped.
+
+Usage: python scripts/ab_xla_flags.py [--bs 16] [--steps 20] [--quick]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CANDIDATES = [
+    # label, {flag: value}
+    ("baseline", {}),
+    # scoped vmem: larger scratch lets the fusion emitter keep deeper
+    # producer chains resident (default ~16M on v5e; MaxText ships 98304)
+    ("vmem_32m", {"xla_tpu_scoped_vmem_limit_kib": "32768"}),
+    ("vmem_48m", {"xla_tpu_scoped_vmem_limit_kib": "49152"}),
+    ("vmem_64m", {"xla_tpu_scoped_vmem_limit_kib": "65536"}),
+    ("vmem_80m", {"xla_tpu_scoped_vmem_limit_kib": "81920"}),
+    ("vmem_96m", {"xla_tpu_scoped_vmem_limit_kib": "98304"}),
+    ("vmem64_lhs", {"xla_tpu_scoped_vmem_limit_kib": "65536",
+                    "xla_tpu_enable_latency_hiding_scheduler": "true"}),
+    # latency-hiding scheduler (MaxText default-on; mostly helps overlap,
+    # may reorder fusions enough to change HBM access patterns)
+    ("lhs", {"xla_tpu_enable_latency_hiding_scheduler": "true"}),
+    ("vmem96_lhs", {"xla_tpu_scoped_vmem_limit_kib": "98304",
+                    "xla_tpu_enable_latency_hiding_scheduler": "true"}),
+    # loop-invariant code motion inflation cap (MaxText perf recipe)
+    ("licm", {"xla_tpu_licm_size_inflation_ratio": "1"}),
+]
+
+
+def build_step(bs, clip_len, size, steps, compiler_options):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from zeroshotvideoclassification_tpu.config import Config
+    from zeroshotvideoclassification_tpu.models import get_network
+    from zeroshotvideoclassification_tpu.train import (
+        create_train_state, make_optimizer)
+    from zeroshotvideoclassification_tpu.train.step import (
+        TrainState, masked_mse)
+
+    config = Config(network="r2plus1d_18", head="mlp", bs=bs)
+    model = get_network(config)
+    optimizer = make_optimizer(config.lr)
+    ts = create_train_state(model, optimizer, jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(
+        -0.5, 0, (bs, 1, clip_len, size, size, 3)).astype(np.float32))
+    z = jnp.asarray(rng.normal(size=(bs, 300)).astype(np.float32))
+    w = jnp.ones((bs,), jnp.float32)
+
+    def one_step(ts):
+        def loss_fn(p):
+            emb, ns = model.apply(p, ts.model_state, x, train=True,
+                                  compute_dtype=jnp.bfloat16)
+            return masked_mse(emb, z, w), ns
+
+        (loss, ns), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
+        updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
+        return TrainState(
+            optax.apply_updates(ts.params, updates), ns, opt_state,
+            ts.step + 1)
+
+    def multi(ts):
+        return jax.lax.fori_loop(0, steps, lambda i, t: one_step(t), ts)
+
+    jitted = jax.jit(multi, compiler_options=compiler_options or None)
+    return jitted, ts
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--bs", type=int, default=16)
+    p.add_argument("--clip_len", type=int, default=16)
+    p.add_argument("--size", type=int, default=112)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--reps", type=int, default=3,
+                   help="timed repetitions; best-of is reported")
+    p.add_argument("--only", default=None,
+                   help="comma-separated candidate labels to run")
+    args = p.parse_args()
+
+    import jax
+
+    results = []
+    only = set(args.only.split(",")) if args.only else None
+    for label, opts in CANDIDATES:
+        if only and label not in only:
+            continue
+        try:
+            t_build = time.perf_counter()
+            jitted, ts0 = build_step(args.bs, args.clip_len, args.size,
+                                     args.steps, opts)
+            ts = jitted(ts0)
+            float(jax.device_get(ts.step))  # compile + warm-up
+            compile_s = time.perf_counter() - t_build
+            best = float("inf")
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                ts = jitted(ts)
+                float(jax.device_get(ts.step))
+                best = min(best, (time.perf_counter() - t0) / args.steps)
+            clips = args.bs / best
+            results.append((label, opts, best * 1e3, clips, compile_s))
+            print(f"{label:24s} {best*1e3:8.2f} ms/step "
+                  f"{clips:8.1f} clips/s  (compile+warm {compile_s:.0f}s)",
+                  flush=True)
+        except Exception as e:  # compiler rejection or OOM: record and move on
+            print(f"{label:24s} REJECTED: {type(e).__name__}: {e}",
+                  flush=True)
+
+    if results:
+        base = next((r for r in results if r[0] == "baseline"), results[0])
+        print("\n== ranked vs baseline ==")
+        for label, opts, ms, clips, _ in sorted(results, key=lambda r: r[2]):
+            print(f"{label:24s} {ms:8.2f} ms  {clips:8.1f} clips/s  "
+                  f"{base[2]/ms:.3f}x  {json.dumps(opts)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -122,3 +122,33 @@ def test_batch2gif_readback(tmp_path, rng):
     path = batch2gif(frames, 0, str(tmp_path) + "/ep0_", classes=["a"])
     back = imageio.mimread(path)
     assert len(back) == 4 and back[0].shape[:2] == (8, 8)
+
+
+def test_tpu_compiler_options_gating(monkeypatch):
+    """Tuned XLA flags ship ONLY on TPU backends; env kill-switch + JSON
+    override; the returned dict is a fresh copy (callers may mutate)."""
+    import jax
+
+    from zeroshotvideoclassification_tpu.utils import xla_tuning
+
+    # CI runs on the forced-CPU backend -> no options.
+    monkeypatch.delenv("ZSVC_XLA_TUNING", raising=False)
+    monkeypatch.delenv("ZSVC_XLA_FLAGS", raising=False)
+    assert jax.default_backend() == "cpu"
+    assert xla_tuning.tpu_compiler_options() is None
+
+    # Simulated TPU backend -> the tuned set, as an independent copy.
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    opts = xla_tuning.tpu_compiler_options()
+    assert opts == xla_tuning.TUNED_TPU_TRAIN_OPTIONS
+    opts["xla_tpu_scoped_vmem_limit_kib"] = "1"
+    assert xla_tuning.tpu_compiler_options() != opts
+
+    # Kill switch wins over everything.
+    monkeypatch.setenv("ZSVC_XLA_TUNING", "0")
+    assert xla_tuning.tpu_compiler_options() is None
+    monkeypatch.delenv("ZSVC_XLA_TUNING")
+
+    # JSON override replaces the tuned set entirely.
+    monkeypatch.setenv("ZSVC_XLA_FLAGS", '{"xla_tpu_foo": "7"}')
+    assert xla_tuning.tpu_compiler_options() == {"xla_tpu_foo": "7"}

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import optax
 
 from zeroshotvideoclassification_tpu.ops.cdist import nearest_class
+from zeroshotvideoclassification_tpu.utils.xla_tuning import tpu_compiler_options
 
 
 @jax.tree_util.register_dataclass
@@ -86,7 +87,8 @@ def make_train_step(
             step=ts.step + 1)
         return new_ts, {"loss": loss, "train_accuracy": acc}
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return jax.jit(step, donate_argnums=(0,) if donate else (),
+                   compiler_options=tpu_compiler_options())
 
 
 def make_scan_train_step(
@@ -127,13 +129,19 @@ def make_scan_train_step(
             body, (ts, rng), (xs, zs, labels, weights))
         return ts, metrics
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return jax.jit(step, donate_argnums=(0,) if donate else (),
+                   compiler_options=tpu_compiler_options())
 
 
 def make_eval_step(model, compute_dtype=jnp.bfloat16) -> Callable:
     """Returns eval_step(params, model_state, x) -> embeddings [B, 300].
 
-    Inference mode: BN running stats, no dropout (main.py:229-230)."""
+    Inference mode: BN running stats, no dropout (main.py:229-230).
+    The tuned train compile options (utils/xla_tuning.py) are deliberately
+    NOT applied here: the serving forward already runs at ~92% of the chip's
+    measured bf16 ceiling (PERF_ROOFLINE_EVAL.json), and the smaller scoped
+    VMEM that helps the bandwidth-bound backward fusions was A/B-measured on
+    the train step only."""
 
     @jax.jit
     def eval_step(params, model_state, x):
