@@ -30,7 +30,12 @@ CANDIDATES = [
     ("baseline", {}),
     # scoped vmem: larger scratch lets the fusion emitter keep deeper
     # producer chains resident (default ~16M on v5e; MaxText ships 98304)
+    ("vmem_16m", {"xla_tpu_scoped_vmem_limit_kib": "16384"}),
+    ("vmem_24m", {"xla_tpu_scoped_vmem_limit_kib": "24576"}),
     ("vmem_32m", {"xla_tpu_scoped_vmem_limit_kib": "32768"}),
+    ("vmem_40m", {"xla_tpu_scoped_vmem_limit_kib": "40960"}),
+    ("vmem32_lhs", {"xla_tpu_scoped_vmem_limit_kib": "32768",
+                    "xla_tpu_enable_latency_hiding_scheduler": "true"}),
     ("vmem_48m", {"xla_tpu_scoped_vmem_limit_kib": "49152"}),
     ("vmem_64m", {"xla_tpu_scoped_vmem_limit_kib": "65536"}),
     ("vmem_80m", {"xla_tpu_scoped_vmem_limit_kib": "81920"}),

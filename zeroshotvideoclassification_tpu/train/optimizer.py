@@ -5,7 +5,8 @@ Parity target: /root/reference/main.py:129-137 —
   MultiStepLR milestones [60, 120] gamma 0.1 when lr == 1e-3, else
   [int(0.8 * n_epochs)].
 The reference's AMP GradScaler is unnecessary on TPU (bf16 needs no loss
-scaling); its inf/NaN step-skip safety is provided by skip_nonfinite below.
+scaling); its inf/NaN step-skip safety is provided by the select-based
+guard in _adam_with_guard below.
 """
 
 from __future__ import annotations
@@ -41,17 +42,57 @@ def make_optimizer(lr: float = 1e-3) -> optax.GradientTransformation:
 
 
 def _adam_with_guard(learning_rate) -> optax.GradientTransformation:
-    # apply_if_finite wraps the WHOLE optimizer: a non-finite gradient leaves
+    # The guard wraps the WHOLE optimizer: a non-finite gradient leaves
     # params, Adam moments and the bias-correction count all untouched —
     # exact GradScaler step-skip semantics (main.py:197-203). (Zeroing the
     # gradient before adam would NOT skip: momentum still moves params.)
-    # max_consecutive_errors is effectively infinite: apply_if_finite would
-    # otherwise APPLY the NaN update once the count is exceeded, poisoning
-    # params — GradScaler never does that.
-    return optax.apply_if_finite(
-        optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8),
-        max_consecutive_errors=10**8,
-    )
+    #
+    # Implemented with jnp.where selects rather than optax.apply_if_finite's
+    # lax.cond: a conditional is a fusion BARRIER in XLA (branch bodies
+    # compile as separate computations), so the cond forced an extra pass
+    # over the ~0.4 GB optimizer state. Computing the Adam candidate
+    # unconditionally and selecting (new vs old) per leaf on the scalar
+    # finiteness flag is pure elementwise dataflow that fuses end-to-end —
+    # measured 60.8 -> 59.7 ms on the full bs16 r2plus1d_18 train step
+    # (scripts/ab_optimizer_guard.py, which also asserts bit-exact agreement
+    # with apply_if_finite on finite AND NaN steps). Unlike apply_if_finite
+    # (which APPLIES the poisoned update after max_consecutive_errors),
+    # this never applies a non-finite update — GradScaler never does either.
+    # State is optax.ApplyIfFiniteState with identical bookkeeping, so
+    # checkpoints and state introspection are unchanged.
+    inner = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+
+    def init_fn(params):
+        return optax.ApplyIfFiniteState(
+            notfinite_count=jnp.zeros([], jnp.int32),
+            last_finite=jnp.array(True, jnp.bool_),
+            total_notfinite=jnp.zeros([], jnp.int32),
+            inner_state=inner.init(params),
+        )
+
+    def update_fn(grads, state, params=None):
+        finite = jnp.array(True)
+        for g in jax.tree_util.tree_leaves(grads):
+            finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(g)))
+        cand_updates, cand_inner = inner.update(grads, state.inner_state,
+                                                params)
+        updates = jax.tree_util.tree_map(
+            lambda u: jnp.where(finite, u, jnp.zeros_like(u)), cand_updates)
+        new_inner = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(finite, n, o), cand_inner,
+            state.inner_state)
+        return updates, optax.ApplyIfFiniteState(
+            notfinite_count=jnp.where(
+                finite, jnp.zeros([], jnp.int32),
+                optax.safe_increment(state.notfinite_count)),
+            last_finite=finite,
+            total_notfinite=jnp.where(
+                finite, state.total_notfinite,
+                optax.safe_increment(state.total_notfinite)),
+            inner_state=new_inner,
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def set_lr(opt_state, lr: float):
