@@ -267,7 +267,13 @@ def main():
             return TrainState(ts.params, ts.model_state, ts.opt_state,
                               ts.step + 1), emb
     else:
-        @jax.jit
+        import functools
+
+        from zeroshotvideoclassification_tpu.utils.xla_tuning import (
+            tpu_compiler_options)
+
+        # profile the SHIPPED train program: tuned compile options included
+        @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
         def step(ts, x, z, w):
             def loss_fn(p):
                 emb, ns = model.apply(p, ts.model_state, x, train=True,
