@@ -36,6 +36,16 @@ CANDIDATES = [
     ("vmem_40m", {"xla_tpu_scoped_vmem_limit_kib": "40960"}),
     ("vmem32_lhs", {"xla_tpu_scoped_vmem_limit_kib": "32768",
                     "xla_tpu_enable_latency_hiding_scheduler": "true"}),
+    # round-3 second axis: emitter/fusion toggles stacked on the 32M winner,
+    # aimed at the conv-backward reduce fusions still at af 0.70-0.89
+    ("vmem32_norwb", {"xla_tpu_scoped_vmem_limit_kib": "32768",
+                      "xla_tpu_rwb_fusion": "false"}),
+    ("vmem32_licm", {"xla_tpu_scoped_vmem_limit_kib": "32768",
+                     "xla_tpu_licm_size_inflation_ratio": "1"}),
+    ("vmem32_noconvin", {"xla_tpu_scoped_vmem_limit_kib": "32768",
+                         "xla_jf_conv_input_fusion": "false"}),
+    ("vmem32_noconvout", {"xla_tpu_scoped_vmem_limit_kib": "32768",
+                          "xla_jf_conv_output_fusion": "false"}),
     ("vmem_48m", {"xla_tpu_scoped_vmem_limit_kib": "49152"}),
     ("vmem_64m", {"xla_tpu_scoped_vmem_limit_kib": "65536"}),
     ("vmem_80m", {"xla_tpu_scoped_vmem_limit_kib": "81920"}),
