@@ -127,7 +127,11 @@ def run_eval_bench(bs: int, clip_len: int, size: int, steps: int,
     x = jnp.asarray(rng.uniform(
         -0.5, 0, (bs, 1, clip_len, size, size, 3)).astype(np.float32))
 
-    @jax.jit
+    from zeroshotvideoclassification_tpu.utils.xla_tuning import (
+        tpu_compiler_options)
+
+    @functools.partial(jax.jit,
+                       compiler_options=tpu_compiler_options("eval"))
     def multi(params, state, x):
         def body(i, acc):
             # acc-dependence keeps XLA from hoisting the call out of the loop

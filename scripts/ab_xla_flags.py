@@ -62,6 +62,38 @@ CANDIDATES = [
 ]
 
 
+def build_eval_step(bs, clip_len, size, steps, compiler_options):
+    """Serving-forward variant (bench.py run_eval_bench's program) so the
+    flag axis can be adjudicated for inference too."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zeroshotvideoclassification_tpu.config import Config
+    from zeroshotvideoclassification_tpu.models import get_network
+    from zeroshotvideoclassification_tpu.train import (
+        create_train_state, make_optimizer)
+
+    config = Config(network="r2plus1d_18", head="mlp", bs=bs)
+    model = get_network(config)
+    ts = create_train_state(model, make_optimizer(config.lr),
+                            jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(
+        -0.5, 0, (bs, 1, clip_len, size, size, 3)).astype(np.float32))
+
+    def multi(params, state, x):
+        def body(i, acc):
+            emb, _ = model.apply(params, state,
+                                 x + (acc * 0).astype(x.dtype), train=False,
+                                 compute_dtype=jnp.bfloat16)
+            return acc + emb[0, 0]
+        return jax.lax.fori_loop(0, steps, body, jnp.zeros(()))
+
+    jitted = jax.jit(multi, compiler_options=compiler_options or None)
+    return (lambda s=None: jitted(ts.params, ts.model_state, x)), None
+
+
 def build_step(bs, clip_len, size, steps, compiler_options):
     import jax
     import jax.numpy as jnp
@@ -115,6 +147,8 @@ def main():
                    help="timed repetitions; best-of is reported")
     p.add_argument("--only", default=None,
                    help="comma-separated candidate labels to run")
+    p.add_argument("--mode", default="train", choices=["train", "eval"],
+                   help="program to time: train step or serving forward")
     args = p.parse_args()
 
     import jax
@@ -126,16 +160,24 @@ def main():
             continue
         try:
             t_build = time.perf_counter()
-            jitted, ts0 = build_step(args.bs, args.clip_len, args.size,
-                                     args.steps, opts)
-            ts = jitted(ts0)
-            float(jax.device_get(ts.step))  # compile + warm-up
+            if args.mode == "eval":
+                fn, _ = build_eval_step(args.bs, args.clip_len, args.size,
+                                        args.steps, opts)
+                float(jax.device_get(fn()))  # compile + warm-up
+            else:
+                jitted, ts0 = build_step(args.bs, args.clip_len, args.size,
+                                         args.steps, opts)
+                ts = jitted(ts0)
+                float(jax.device_get(ts.step))  # compile + warm-up
             compile_s = time.perf_counter() - t_build
             best = float("inf")
             for _ in range(args.reps):
                 t0 = time.perf_counter()
-                ts = jitted(ts)
-                float(jax.device_get(ts.step))
+                if args.mode == "eval":
+                    float(jax.device_get(fn()))
+                else:
+                    ts = jitted(ts)
+                    float(jax.device_get(ts.step))
                 best = min(best, (time.perf_counter() - t0) / args.steps)
             clips = args.bs / best
             results.append((label, opts, best * 1e3, clips, compile_s))

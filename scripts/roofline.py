@@ -259,21 +259,23 @@ def main():
     # inputs are ARGUMENTS, not closures: a closed-over batch becomes a
     # baked-in constant (308 MB at eval bs128), which blows the relay's
     # remote-compile request limit
+    import functools
+
+    from zeroshotvideoclassification_tpu.utils.xla_tuning import (
+        tpu_compiler_options)
+
+    # profile the SHIPPED programs: tuned compile options included
     if args.eval:
-        @jax.jit
+        @functools.partial(jax.jit,
+                           compiler_options=tpu_compiler_options("eval"))
         def step(ts, x):
             emb, _ = model.apply(ts.params, ts.model_state, x, train=False,
                                  compute_dtype=jnp.bfloat16)
             return TrainState(ts.params, ts.model_state, ts.opt_state,
                               ts.step + 1), emb
     else:
-        import functools
-
-        from zeroshotvideoclassification_tpu.utils.xla_tuning import (
-            tpu_compiler_options)
-
-        # profile the SHIPPED train program: tuned compile options included
-        @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
+        @functools.partial(jax.jit,
+                           compiler_options=tpu_compiler_options("train"))
         def step(ts, x, z, w):
             def loss_fn(p):
                 emb, ns = model.apply(p, ts.model_state, x, train=True,

@@ -137,12 +137,18 @@ def test_tpu_compiler_options_gating(monkeypatch):
     assert jax.default_backend() == "cpu"
     assert xla_tuning.tpu_compiler_options() is None
 
-    # Simulated TPU backend -> the tuned set, as an independent copy.
+    # Simulated TPU backend -> the per-program tuned set, as an
+    # independent copy.
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     opts = xla_tuning.tpu_compiler_options()
     assert opts == xla_tuning.TUNED_TPU_TRAIN_OPTIONS
+    assert (xla_tuning.tpu_compiler_options("eval")
+            == xla_tuning.TUNED_TPU_EVAL_OPTIONS)
+    assert opts != xla_tuning.tpu_compiler_options("eval")
     opts["xla_tpu_scoped_vmem_limit_kib"] = "1"
     assert xla_tuning.tpu_compiler_options() != opts
+    with pytest.raises(ValueError):
+        xla_tuning.tpu_compiler_options("serve")
 
     # Kill switch wins over everything.
     monkeypatch.setenv("ZSVC_XLA_TUNING", "0")

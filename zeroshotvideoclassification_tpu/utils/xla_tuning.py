@@ -11,16 +11,22 @@ build in install.sh (/root/reference/install.sh:18,23-24).
 
 Values are A/B-measured on hardware by scripts/ab_xla_flags.py (in-graph
 K-step loops — the only honest timing on a relayed chip; results in
-ROADMAP.md "Round-3: XLA compile-option sweep"). Winner: shrinking the
-scoped-VMEM budget from the default to 32 MiB, which makes the fusion
-emitter tile the big conv-backward fusions into smaller VMEM-resident
-chunks — measured 62.5 -> 60.6 ms on the bs16 r2plus1d_18 train step
-(+3.1% throughput); larger budgets (80-96 MiB) measured NEUTRAL-to-WORSE,
-and the latency-hiding scheduler / LICM-cap flags measured neutral.
+ROADMAP.md "Round-3: XLA compile-option sweep"). Both winners move the
+scoped-VMEM budget, in opposite directions per program:
+
+  * train step: 32 MiB — smaller fusion scratch makes the emitter tile the
+    big bandwidth-bound conv-backward fusions into chunks whose HBM access
+    pattern streams better; 62.5 -> 60.6 ms at bs16 (+3.1%). 80-96 MiB
+    measured neutral-to-worse; LHS / LICM-cap flags neutral; conv
+    input/output fusion toggles 1.08-1.77x WORSE.
+  * serving forward: 64 MiB — the forward has no backward working set, so
+    a LARGER budget lets the emitter keep deeper producer chains resident;
+    91.1 -> 77.3 ms at bs128 (+17.9%, 1404 -> 1656 clips/s/chip). 80 MiB
+    ties, 96 MiB regresses, 32 MiB gives up a third of the win.
 
 ZSVC_XLA_TUNING=0 disables; ZSVC_XLA_FLAGS='{"flag": "val", ...}' (JSON)
-replaces the tuned set entirely. Off-TPU backends always get None (CPU/GPU
-reject TPU flags).
+replaces the tuned set (for both programs) entirely. Off-TPU backends
+always get None (CPU/GPU reject TPU flags).
 """
 
 from __future__ import annotations
@@ -33,14 +39,22 @@ TUNED_TPU_TRAIN_OPTIONS = {
     "xla_tpu_scoped_vmem_limit_kib": "32768",
 }
 
+TUNED_TPU_EVAL_OPTIONS = {
+    "xla_tpu_scoped_vmem_limit_kib": "65536",
+}
 
-def tpu_compiler_options() -> Optional[dict]:
+
+def tpu_compiler_options(program: str = "train") -> Optional[dict]:
     """The tuned compile-option dict for TPU-backed jits, or None.
 
-    Safe to pass directly as `jax.jit(..., compiler_options=...)`: None is
-    the no-op. Import of jax is deferred so pure-host tooling can import
-    this module without initializing a backend.
+    `program` selects the tuned set: "train" (gradient step) or "eval"
+    (inference forward). Safe to pass directly as
+    `jax.jit(..., compiler_options=...)`: None is the no-op. Import of jax
+    is deferred so pure-host tooling can import this module without
+    initializing a backend.
     """
+    if program not in ("train", "eval"):
+        raise ValueError(f"unknown program {program!r}")
     if os.environ.get("ZSVC_XLA_TUNING", "1") == "0":
         return None
     import jax
@@ -50,4 +64,5 @@ def tpu_compiler_options() -> Optional[dict]:
     override = os.environ.get("ZSVC_XLA_FLAGS")
     if override:
         return dict(json.loads(override))
-    return dict(TUNED_TPU_TRAIN_OPTIONS)
+    return dict(TUNED_TPU_TRAIN_OPTIONS if program == "train"
+                else TUNED_TPU_EVAL_OPTIONS)
