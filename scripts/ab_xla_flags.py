@@ -14,7 +14,9 @@ ranked table vs the no-flags baseline. Candidates are public XLA:TPU flags
 seen in open JAX/T5X/MaxText configs; anything the compiler rejects is
 reported as REJECTED and skipped.
 
-Usage: python scripts/ab_xla_flags.py [--bs 16] [--steps 20] [--quick]
+Usage:
+  python scripts/ab_xla_flags.py [--bs 16] [--steps 20]        # train step
+  python scripts/ab_xla_flags.py --mode eval --bs 128          # serving fwd
 """
 
 import argparse
