@@ -414,3 +414,31 @@ def test_extract_embeddings_packed_single_gather(monkeypatch):
     assert calls["n"] == 3, calls
     for a, b in zip(ref, got):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_async_checkpointer_wait_never_loses_queued_writes(tmp_path, rng):
+    """Interleaved submit/wait hammer: wait() must only return once EVERY
+    previously submitted write is on disk (regression for the Event-based
+    idle flag, where a submit racing the worker's queue-empty check could
+    leave wait() returning with a write still queued)."""
+    from zeroshotvideoclassification_tpu.train.async_ckpt import (
+        AsyncCheckpointer,
+    )
+
+    model = _tiny_model()
+    opt = make_optimizer(1e-2)
+    ts = create_train_state(model, opt, jax.random.PRNGKey(0))
+    ts_host = jax.tree.map(np.asarray, ts)
+
+    ckpt = AsyncCheckpointer()
+    n = 0
+    for round_ in range(30):
+        for k in range(3):
+            ckpt.submit(str(tmp_path / f"ck_{n}.npz"), ts_host,
+                        epoch=n, accuracy=float(n))
+            n += 1
+        ckpt.wait()
+        # every write submitted before this wait() must be durably visible
+        for i in range(n):
+            assert (tmp_path / f"ck_{i}.npz").exists(), (round_, i, n)
+    ckpt.close()

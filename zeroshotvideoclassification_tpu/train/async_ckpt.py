@@ -35,8 +35,14 @@ class AsyncCheckpointer:
     def __init__(self):
         self._q: "queue.Queue" = queue.Queue()
         self._error: Optional[BaseException] = None
-        self._idle = threading.Event()
-        self._idle.set()
+        # pending-write COUNT under a condition, not an Event: with an Event
+        # there is a window between the worker's queue-empty check and
+        # idle.set() where a concurrent submit() can clear-then-enqueue,
+        # after which the worker sets idle stale — wait() would return with
+        # a write still queued (and a daemon thread can die at interpreter
+        # exit before it lands).
+        self._cond = threading.Condition()
+        self._pending = 0
         self._stop = False
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
@@ -51,8 +57,10 @@ class AsyncCheckpointer:
             except BaseException as e:  # surfaced on next submit()/wait()
                 self._error = e
             finally:
-                if self._q.empty():
-                    self._idle.set()
+                with self._cond:
+                    self._pending -= 1
+                    if self._pending == 0:
+                        self._cond.notify_all()
 
     def _raise_pending(self):
         if self._error is not None:
@@ -68,12 +76,14 @@ class AsyncCheckpointer:
         self._raise_pending()
         if self._stop:
             raise RuntimeError("checkpointer is closed")
-        self._idle.clear()
+        with self._cond:
+            self._pending += 1
         self._q.put((path, train_state, epoch, accuracy, config_json))
 
     def wait(self, timeout: Optional[float] = None) -> None:
         """Block until all queued writes hit disk; re-raise any write error."""
-        self._idle.wait(timeout=timeout)
+        with self._cond:
+            self._cond.wait_for(lambda: self._pending == 0, timeout=timeout)
         self._raise_pending()
 
     def close(self, timeout: float = 60.0) -> None:
