@@ -58,8 +58,14 @@ def build(bs, clip_len, size, steps, guard):
 
     config = Config(network="r2plus1d_18", head="mlp", bs=bs)
     model = get_network(config)
-    optimizer = (adam_cond_guard(config.lr) if guard == "cond"
-                 else _adam_with_guard(config.lr))
+    # wrap in inject_hyperparams exactly as the shipped make_optimizer does
+    # (train/optimizer.py) so both timed arms are the production program
+    # modulo ONLY the guard. NOTE: this step construction intentionally
+    # mirrors bench.py:run_bench / scripts/ab_xla_flags.py:build_step —
+    # keep the three in sync.
+    optimizer = optax.inject_hyperparams(
+        adam_cond_guard if guard == "cond" else _adam_with_guard
+    )(learning_rate=config.lr)
     ts = create_train_state(model, optimizer, jax.random.PRNGKey(0))
 
     rng = np.random.default_rng(0)

@@ -73,13 +73,12 @@ def build_eval_step(bs, clip_len, size, steps, compiler_options):
 
     from zeroshotvideoclassification_tpu.config import Config
     from zeroshotvideoclassification_tpu.models import get_network
-    from zeroshotvideoclassification_tpu.train import (
-        create_train_state, make_optimizer)
 
     config = Config(network="r2plus1d_18", head="mlp", bs=bs)
     model = get_network(config)
-    ts = create_train_state(model, make_optimizer(config.lr),
-                            jax.random.PRNGKey(0))
+    # no optimizer: Adam moments would hold ~2x params of dead HBM during
+    # the large-batch sweep and could turn a viable candidate into an OOM
+    params, model_state = jax.jit(model.init)(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(
         -0.5, 0, (bs, 1, clip_len, size, size, 3)).astype(np.float32))
@@ -93,10 +92,12 @@ def build_eval_step(bs, clip_len, size, steps, compiler_options):
         return jax.lax.fori_loop(0, steps, body, jnp.zeros(()))
 
     jitted = jax.jit(multi, compiler_options=compiler_options or None)
-    return (lambda s=None: jitted(ts.params, ts.model_state, x)), None
+    return (lambda s=None: jitted(params, model_state, x)), None
 
 
 def build_step(bs, clip_len, size, steps, compiler_options):
+    # mirrors bench.py:run_bench / scripts/ab_optimizer_guard.py:build —
+    # keep the three in sync so A/Bs time the shipped program
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -192,7 +193,10 @@ def main():
 
     if results:
         base = next((r for r in results if r[0] == "baseline"), results[0])
-        print("\n== ranked vs baseline ==")
+        print(f"\n== ranked vs {base[0]} =="
+              + ("" if base[0] == "baseline" else
+                 "  (baseline not in this run — ratios are vs the first "
+                 "candidate, NOT the no-flags program)"))
         for label, opts, ms, clips, _ in sorted(results, key=lambda r: r[2]):
             print(f"{label:24s} {ms:8.2f} ms  {clips:8.1f} clips/s  "
                   f"{base[2]/ms:.3f}x  {json.dumps(opts)}")

@@ -442,3 +442,37 @@ def test_async_checkpointer_wait_never_loses_queued_writes(tmp_path, rng):
         for i in range(n):
             assert (tmp_path / f"ck_{i}.npz").exists(), (round_, i, n)
     ckpt.close()
+
+
+def test_async_checkpointer_wait_timeout_raises(tmp_path, rng, monkeypatch):
+    """A wait()/close() that cannot drain in time must raise, not return as
+    if the checkpoint were durable (the daemon writer dies at exit)."""
+    import threading
+    import time as _time
+
+    import pytest
+
+    from zeroshotvideoclassification_tpu.train import async_ckpt
+
+    release = threading.Event()
+    real_save = async_ckpt.save_checkpoint
+
+    def slow_save(*a, **k):
+        release.wait(timeout=30)
+        return real_save(*a, **k)
+
+    monkeypatch.setattr(async_ckpt, "save_checkpoint", slow_save)
+    model = _tiny_model()
+    opt = make_optimizer(1e-2)
+    ts_host = jax.tree.map(
+        np.asarray, create_train_state(model, opt, jax.random.PRNGKey(0)))
+
+    ckpt = async_ckpt.AsyncCheckpointer()
+    ckpt.submit(str(tmp_path / "slow.npz"), ts_host, epoch=0, accuracy=0.0)
+    t0 = _time.monotonic()
+    with pytest.raises(TimeoutError):
+        ckpt.wait(timeout=0.2)
+    assert _time.monotonic() - t0 < 5
+    release.set()  # unblock; now the drain must complete and the file land
+    ckpt.close()
+    assert (tmp_path / "slow.npz").exists()

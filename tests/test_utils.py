@@ -158,3 +158,28 @@ def test_tpu_compiler_options_gating(monkeypatch):
     # JSON override replaces the tuned set entirely.
     monkeypatch.setenv("ZSVC_XLA_FLAGS", '{"xla_tpu_foo": "7"}')
     assert xla_tuning.tpu_compiler_options() == {"xla_tpu_foo": "7"}
+
+
+def test_tpu_compiler_options_keyed_override(monkeypatch):
+    """ZSVC_XLA_FLAGS keyed form overrides per program; a missing key keeps
+    that program's shipped set; the flat form applies to both."""
+    import jax
+
+    from zeroshotvideoclassification_tpu.utils import xla_tuning
+
+    monkeypatch.delenv("ZSVC_XLA_TUNING", raising=False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    monkeypatch.setenv("ZSVC_XLA_FLAGS",
+                       '{"train": {"xla_a": "1"}}')
+    assert xla_tuning.tpu_compiler_options("train") == {"xla_a": "1"}
+    assert (xla_tuning.tpu_compiler_options("eval")
+            == xla_tuning.TUNED_TPU_EVAL_OPTIONS)
+
+    monkeypatch.setenv("ZSVC_XLA_FLAGS",
+                       '{"train": {"xla_a": "1"}, "eval": {}}')
+    assert xla_tuning.tpu_compiler_options("eval") == {}
+
+    monkeypatch.setenv("ZSVC_XLA_FLAGS", '{"xla_flat": "2"}')
+    assert xla_tuning.tpu_compiler_options("train") == {"xla_flat": "2"}
+    assert xla_tuning.tpu_compiler_options("eval") == {"xla_flat": "2"}

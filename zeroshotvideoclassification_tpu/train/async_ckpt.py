@@ -81,14 +81,26 @@ class AsyncCheckpointer:
         self._q.put((path, train_state, epoch, accuracy, config_json))
 
     def wait(self, timeout: Optional[float] = None) -> None:
-        """Block until all queued writes hit disk; re-raise any write error."""
+        """Block until all queued writes hit disk; re-raise any write error.
+
+        Raises TimeoutError if writes are still pending when `timeout`
+        expires — returning silently would let the caller exit believing
+        the checkpoint is durable while the daemon writer dies mid-queue."""
         with self._cond:
-            self._cond.wait_for(lambda: self._pending == 0, timeout=timeout)
+            drained = self._cond.wait_for(
+                lambda: self._pending == 0, timeout=timeout)
         self._raise_pending()
+        if not drained:
+            raise TimeoutError(
+                f"checkpoint writes still pending after {timeout}s "
+                "(disk stalled?)")
 
     def close(self, timeout: float = 60.0) -> None:
         self.wait(timeout=timeout)
         self._stop = True
         self._q.put(None)
         self._worker.join(timeout=timeout)
+        if self._worker.is_alive():
+            raise TimeoutError(
+                f"checkpoint writer did not exit within {timeout}s")
         self._raise_pending()

@@ -24,9 +24,11 @@ scoped-VMEM budget, in opposite directions per program:
     91.1 -> 77.3 ms at bs128 (+17.9%, 1404 -> 1656 clips/s/chip). 80 MiB
     ties, 96 MiB regresses, 32 MiB gives up a third of the win.
 
-ZSVC_XLA_TUNING=0 disables; ZSVC_XLA_FLAGS='{"flag": "val", ...}' (JSON)
-replaces the tuned set (for both programs) entirely. Off-TPU backends
-always get None (CPU/GPU reject TPU flags).
+ZSVC_XLA_TUNING=0 disables. ZSVC_XLA_FLAGS (JSON) replaces the tuned sets:
+a flat dict ('{"flag": "val"}') applies to BOTH programs; a keyed dict
+('{"train": {...}, "eval": {...}}') overrides per program (a missing key
+keeps that program's shipped set). Off-TPU backends always get None
+(CPU/GPU reject TPU flags).
 """
 
 from __future__ import annotations
@@ -61,8 +63,15 @@ def tpu_compiler_options(program: str = "train") -> Optional[dict]:
 
     if jax.default_backend() not in ("tpu", "axon"):
         return None
+    tuned = dict(TUNED_TPU_TRAIN_OPTIONS if program == "train"
+                 else TUNED_TPU_EVAL_OPTIONS)
     override = os.environ.get("ZSVC_XLA_FLAGS")
     if override:
-        return dict(json.loads(override))
-    return dict(TUNED_TPU_TRAIN_OPTIONS if program == "train"
-                else TUNED_TPU_EVAL_OPTIONS)
+        parsed = json.loads(override)
+        if any(isinstance(v, dict) for v in parsed.values()):
+            # per-program form: {"train": {...}, "eval": {...}} — a missing
+            # key keeps that program's shipped set
+            sel = parsed.get(program)
+            return dict(sel) if sel is not None else tuned
+        return dict(parsed)
+    return tuned
