@@ -183,3 +183,33 @@ def test_tpu_compiler_options_keyed_override(monkeypatch):
     monkeypatch.setenv("ZSVC_XLA_FLAGS", '{"xla_flat": "2"}')
     assert xla_tuning.tpu_compiler_options("train") == {"xla_flat": "2"}
     assert xla_tuning.tpu_compiler_options("eval") == {"xla_flat": "2"}
+
+
+def test_enable_persistent_cache(monkeypatch, tmp_path):
+    """CLI cache helper: honors ZSVC_XLA_CACHE dir override and '0' disable;
+    restores global config afterwards so other tests see the default."""
+    import jax
+
+    from zeroshotvideoclassification_tpu.utils.xla_tuning import (
+        enable_persistent_cache,
+    )
+
+    old_dir = jax.config.jax_compilation_cache_dir
+    old_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        monkeypatch.setenv("ZSVC_XLA_CACHE", "0")
+        enable_persistent_cache(str(tmp_path / "unused"))
+        assert jax.config.jax_compilation_cache_dir == old_dir
+
+        monkeypatch.setenv("ZSVC_XLA_CACHE", str(tmp_path / "cache"))
+        enable_persistent_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cache")
+
+        monkeypatch.delenv("ZSVC_XLA_CACHE")
+        enable_persistent_cache(str(tmp_path / "default"))
+        assert (jax.config.jax_compilation_cache_dir
+                == str(tmp_path / "default"))
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          old_min)

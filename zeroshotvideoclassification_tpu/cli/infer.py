@@ -241,6 +241,11 @@ def main(argv=None):
                    help="frame dirs / video files / .npy clip stacks")
     add_class_and_model_args(p)
     args = p.parse_args(argv)
+    from zeroshotvideoclassification_tpu.utils.xla_tuning import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
 
     class_names, class_embed = resolve_classes(args)
     results = classify_videos(args.videos, class_names, class_embed, args)

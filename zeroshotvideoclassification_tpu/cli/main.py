@@ -562,6 +562,13 @@ class Experiment:
 
 
 def main(argv=None):
+    # persistent compile cache BEFORE any backend use: restarted jobs
+    # (--resume auto follow-ups, eval-only reruns) skip recompiles
+    from zeroshotvideoclassification_tpu.utils.xla_tuning import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     # multi-host (DCN) process init first: jax.devices()/process_count must
     # reflect the full job before mesh construction (SURVEY §2.3)
     maybe_initialize()

@@ -41,6 +41,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_arg_parser().parse_args(argv)
+    from zeroshotvideoclassification_tpu.utils.xla_tuning import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     from zeroshotvideoclassification_tpu.cli.infer import resolve_classes
     from zeroshotvideoclassification_tpu.serve import (
         InferenceEngine,

@@ -41,6 +41,27 @@ TUNED_TPU_TRAIN_OPTIONS = {
     "xla_tpu_scoped_vmem_limit_kib": "32768",
 }
 
+
+def enable_persistent_cache(path: str = ".jax_cache") -> None:
+    """Best-effort persistent XLA compilation cache for the CLI surfaces.
+
+    Restarted jobs (--resume auto follow-ups, repeated serving launches,
+    eval-only reruns) then skip recompilation of identical programs —
+    minutes per shape on remote/tunneled TPU hosts. ZSVC_XLA_CACHE
+    overrides the directory; '0' disables. No-op if the backend is already
+    initialized past the point where the config can change (the cache then
+    simply stays off for this process)."""
+    env = os.environ.get("ZSVC_XLA_CACHE")
+    if env == "0":
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", env or path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
 TUNED_TPU_EVAL_OPTIONS = {
     "xla_tpu_scoped_vmem_limit_kib": "65536",
 }
