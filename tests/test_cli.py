@@ -268,3 +268,37 @@ def test_flag_polish_parses():
     assert cfg.prefetch_depth == 3
     assert cfg.canvas_hw == (128, 160)
     assert config_from_args([]).progressbar is True
+
+
+def test_resume_is_bit_deterministic(tmp_path):
+    """Preemption recovery must be EXACT: a run interrupted at an epoch
+    boundary and resumed (--resume auto) reproduces the uninterrupted run's
+    epoch metrics bit-for-bit. Holds because the host pipeline and device
+    rng are seeded per (seed, epoch) — independent of history — and the
+    checkpoint stores full state (params + BN stats + optimizer + epoch)."""
+
+    def epoch_metrics(root):
+        out = {}
+        for p in glob.glob(str(root / "**" / "metrics.jsonl"), recursive=True):
+            with open(p) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    out[(rec["tag"], rec["step"])] = rec["value"]
+        return out
+
+    a_dir = tmp_path / "uninterrupted"
+    _run(a_dir, extra=["--n_epochs", "2", "--checkpoint_every", "1"])
+    a = epoch_metrics(a_dir)
+
+    b_dir = tmp_path / "interrupted"
+    _run(b_dir, extra=["--n_epochs", "1", "--checkpoint_every", "1"])
+    _run(b_dir, extra=["--resume", "auto", "--n_epochs", "2",
+                       "--checkpoint_every", "1"])
+    b = epoch_metrics(b_dir)
+
+    # the resumed job must see epoch 1 exactly as the uninterrupted one did
+    epoch1_tags = [k for k in a if k[1] == 1]
+    assert epoch1_tags, sorted(a)
+    for k in epoch1_tags:
+        assert k in b, (k, sorted(b))
+        assert a[k] == b[k], (k, a[k], b[k])
