@@ -213,3 +213,11 @@ def test_enable_persistent_cache(monkeypatch, tmp_path):
         jax.config.update("jax_compilation_cache_dir", old_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           old_min)
+
+
+def test_config_from_json_ignores_unknown_keys():
+    """Checkpoints carry the writer's config_json; a different framework
+    version must still parse it (e.g. the removed keep_bn_fp32 field)."""
+    cfg = Config.from_json(
+        '{"bs": 7, "keep_bn_fp32": false, "future_flag": "x"}')
+    assert cfg.bs == 7

@@ -109,7 +109,9 @@ class Config:
                                       # from bs16 to bs128; numerics are
                                       # per-sample so only padding changes)
     log_every: int = 10
-    keep_bn_fp32: bool = True
+    # NOTE: BN statistics/normalization are ALWAYS fp32 (models/layers.py) —
+    # the AMP-parity requirement, not a knob; a former keep_bn_fp32 field
+    # was dead and removed (from_json drops unknown keys for old configs)
     save_samples: bool = False        # dump one input clip as GIF per epoch
                                       # (the reference had this commented out,
                                       # main.py:159-163)
@@ -169,7 +171,11 @@ class Config:
         for k in ("mesh_shape", "mesh_axes", "canvas_hw"):
             if k in d and isinstance(d[k], list):
                 d[k] = tuple(d[k])
-        return Config(**d)
+        # drop unknown keys: checkpoints carry the writer's config_json, and
+        # a newer/older framework must still parse it (e.g. the removed
+        # keep_bn_fp32 field)
+        known = {f.name for f in dataclasses.fields(Config)}
+        return Config(**{k: v for k, v in d.items() if k in known})
 
 
 def build_arg_parser() -> argparse.ArgumentParser:
