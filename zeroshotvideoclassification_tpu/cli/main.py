@@ -48,7 +48,6 @@ from zeroshotvideoclassification_tpu.train import (
     make_optimizer,
     make_train_step,
     multistep_lr,
-    save_checkpoint,
     warm_start,
 )
 from zeroshotvideoclassification_tpu.train.optimizer import set_lr

@@ -11,8 +11,6 @@ guard in _adam_with_guard below.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import optax
