@@ -69,6 +69,43 @@ def test_microbatcher_propagates_errors_per_batch():
         b.shutdown()
 
 
+def test_microbatcher_shutdown_fails_pending_futures():
+    """Items enqueued but never collected must not leave their request
+    threads blocked for the full result timeout: shutdown() drains the queue
+    and fails the futures."""
+    gate = threading.Event()
+
+    def process(items):
+        gate.wait(timeout=10)
+        return list(items)
+
+    b = MicroBatcher(process, max_batch=1, max_wait_s=0.01)
+    f0 = b.submit(1)  # worker blocks on the gate processing this one
+    time.sleep(0.2)
+    pending = [b.submit(i) for i in (2, 3)]  # stuck in the queue
+    b.shutdown(timeout=0.2)  # worker still blocked -> join times out
+    for f in pending:
+        with pytest.raises(RuntimeError, match="shut down"):
+            f.result(timeout=5)
+    gate.set()  # release the worker; the in-flight item still completes
+    assert f0.result(timeout=10) == 1
+
+
+def test_microbatcher_stats_latency_percentiles():
+    b = MicroBatcher(lambda items: list(items), max_batch=4,
+                     max_wait_s=0.001)
+    try:
+        futs = [b.submit(i) for i in range(8)]
+        for f in futs:
+            f.result(timeout=10)
+        s = b.stats()
+        assert s["latency_p50_ms"] > 0.0
+        assert s["latency_p95_ms"] >= s["latency_p50_ms"]
+        assert s["latency_max_ms"] >= s["latency_p95_ms"]
+    finally:
+        b.shutdown()
+
+
 # ----------------------------------------------------- engine + server ------
 
 @pytest.fixture(scope="module")
@@ -84,6 +121,8 @@ def serving(tmp_path_factory):
         SyntheticWordVectors,
     )
 
+    import cv2
+
     tmp = tmp_path_factory.mktemp("serve")
     rng = np.random.default_rng(0)
     paths = []
@@ -91,6 +130,11 @@ def serving(tmp_path_factory):
         p = tmp / f"clip{i}.npy"
         np.save(p, rng.integers(0, 256, (12, 64, 86, 3), dtype=np.uint8))
         paths.append(str(p))
+    frame_dir = tmp / "vid0"
+    (frame_dir / "images").mkdir(parents=True)
+    for i in range(6):
+        cv2.imwrite(str(frame_dir / "images" / ("img_%05d.jpg" % (i + 1))),
+                    rng.integers(0, 256, (64, 86, 3), dtype=np.uint8))
     classes = ["playing guitar", "riding a horse", "washing dishes"]
     class_embed = classes2embedding("kinetics", classes,
                                     SyntheticWordVectors())
@@ -100,8 +144,9 @@ def serving(tmp_path_factory):
         compute_dtype="float32")
     server, service = start_server(engine, port=0, max_wait_s=0.3)
     yield {"engine": engine, "server": server, "service": service,
-           "paths": paths, "classes": classes, "class_embed": class_embed,
-           "port": server.server_address[1]}
+           "paths": paths, "frame_dir": str(frame_dir),
+           "classes": classes, "class_embed": class_embed,
+           "tmp": str(tmp), "port": server.server_address[1]}
     server.shutdown()
     service.close()
 
@@ -135,6 +180,54 @@ def test_service_coalesces_concurrent_requests(serving):
     assert len(results) == 4
     assert all("top_class" in r for r in results)
     assert engine.n_dispatches == before + 1  # ONE device dispatch for all 4
+
+
+def test_mixed_loader_request_is_one_dispatch(serving):
+    """frame-dir and .npy sources in ONE request must share a single padded
+    forward (the 'auto' per-path decoder), not one dispatch per loader kind."""
+    engine = serving["engine"]
+    mixed = [serving["frame_dir"], serving["paths"][0], serving["paths"][1]]
+    engine.classify(mixed)  # warm the compiled shape
+    before = engine.n_dispatches
+    results = engine.classify(mixed)
+    assert engine.n_dispatches == before + 1
+    assert [r["video"] for r in results] == mixed
+    assert all("top_class" in r for r in results)
+
+
+def test_data_root_confinement(serving):
+    """With data_root set, /classify rejects paths resolving outside it
+    BEFORE touching the filesystem; paths inside still classify."""
+    from zeroshotvideoclassification_tpu.serve import start_server
+
+    server, service = start_server(serving["engine"], port=0,
+                                   max_wait_s=0.01,
+                                   data_root=serving["tmp"])
+    try:
+        port = server.server_address[1]
+
+        def post(payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/classify",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req) as r:
+                return json.loads(r.read())
+
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            post({"video": "/etc/passwd"})
+        assert exc.value.code == 400
+        assert json.loads(exc.value.read())["error"] == \
+            "path outside --data_root"
+        # traversal through the root must not escape it
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            post({"video": serving["tmp"] + "/../escape.npy"})
+        assert exc.value.code == 400
+        ok = post({"video": serving["paths"][0]})
+        assert ok["top_class"] in serving["classes"]
+    finally:
+        server.shutdown()
+        service.close()
 
 
 def test_http_endpoints(serving):

@@ -31,13 +31,7 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 
-def detect_loader(path: str) -> str:
-    """frame_dir | npy | video, by filesystem shape (data/decode.py loaders)."""
-    if os.path.isdir(path):
-        return "frame_dir"
-    if path.endswith(".npy"):
-        return "npy"
-    return "video"
+from zeroshotvideoclassification_tpu.data.decode import detect_loader  # noqa: F401  (public re-export; loaders live with the decoders)
 
 
 def build_class_embeddings(class_names: Sequence[str], rule: str,

@@ -458,6 +458,12 @@ class Experiment:
                             "%d, %.1f,%.1f" % (epoch, acc, acc5))
         res = f"{table.name.upper()} Epoch {epoch}: Test accuracy: {acc:2.1f}%."
         out = {"accuracy": acc, "accuracy_top5": acc5}
+        # Declared parity deviation: the reference runs the 10-seeded
+        # half-class split protocol unconditionally (/root/reference/
+        # main.py:278). With <4 classes a "half split" is 1 class (top-1
+        # accuracy is trivially 100%) and top-5 is meaningless, so tiny
+        # smoke/fixture runs skip it; any real dataset (51+ classes) takes
+        # the reference path.
         if cfg.split == -1 and len(table.classes) >= 4:
             sp = split_protocol(pred, table.class_embed, true_l, true_e)
             out.update(sp)

@@ -31,11 +31,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
     add_class_and_model_args(p)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
-    p.add_argument("--max_batch", type=int, default=16,
+    p.add_argument("--max_batch", type=int, default=128,
                    help="static device batch; concurrent requests coalesce "
-                        "up to this many per dispatch")
+                        "up to this many per dispatch (default = the "
+                        "measured amortization knee, ROADMAP serving batch "
+                        "curve)")
     p.add_argument("--max_wait_ms", type=float, default=10.0,
                    help="batching window after the first queued request")
+    p.add_argument("--data_root", default=None,
+                   help="if set, reject /classify paths that resolve "
+                        "outside this directory (recommended with a "
+                        "non-loopback --host; by default any path readable "
+                        "by the process can be probed/decoded)")
     return p
 
 
@@ -62,7 +69,8 @@ def main(argv=None):
           f"http://{args.host}:{args.port}  (max_batch={args.max_batch}, "
           f"window={args.max_wait_ms}ms)", file=sys.stderr)
     serve_forever(engine, args.host, args.port,
-                  max_wait_s=args.max_wait_ms / 1e3)
+                  max_wait_s=args.max_wait_ms / 1e3,
+                  data_root=args.data_root)
 
 
 if __name__ == "__main__":

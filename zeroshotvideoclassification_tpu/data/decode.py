@@ -197,8 +197,27 @@ def decode_npy(
     return np.ascontiguousarray(clip[idx]), True
 
 
+def detect_loader(path: str) -> str:
+    """frame_dir | npy | video, by filesystem shape."""
+    if os.path.isdir(path):
+        return "frame_dir"
+    if path.endswith(".npy"):
+        return "npy"
+    return "video"
+
+
+def decode_auto(path, clip_len, n_clips, is_validation, rng):
+    """Per-path loader dispatch: lets one VideoTable (hence ONE padded device
+    dispatch) mix frame-dir, encoded-video and .npy sources — the serving
+    engine's mixed-request path uses this so a 3-kind request costs one
+    forward instead of three max_batch-padded ones."""
+    return DECODERS[detect_loader(path)](
+        path, clip_len, n_clips, is_validation, rng)
+
+
 DECODERS = {
     "frame_dir": decode_frame_dir,
     "video": decode_video,
     "npy": decode_npy,
 }
+DECODERS["auto"] = decode_auto

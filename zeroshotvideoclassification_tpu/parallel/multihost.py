@@ -141,6 +141,25 @@ def agree_from_process_zero(s, maxlen: int = 4096):
         return bytes(out).rstrip(b"\x00").decode("utf-8") or None
 
 
+_replicators: dict = {}
+
+
+def _replicator(mesh: Mesh):
+    """Memoized jitted replicating identity for `mesh`.
+
+    jit caches are keyed on the FUNCTION OBJECT: building a fresh
+    jax.jit(lambda ...) per call would re-trace (and re-compile per
+    shape/dtype) on every eval batch and every checkpointed train-state
+    leaf — hundreds of redundant compilations per epoch under multi-host.
+    One wrapper per mesh lets jit's own cache handle shape/dtype
+    specialization."""
+    fn = _replicators.get(mesh)
+    if fn is None:
+        fn = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
+        _replicators[mesh] = fn
+    return fn
+
+
 def fetch_global(a) -> np.ndarray:
     """np.asarray for possibly multi-host-sharded arrays.
 
@@ -157,9 +176,7 @@ def fetch_global(a) -> np.ndarray:
     sharding = getattr(a, "sharding", None)
     mesh = getattr(sharding, "mesh", None)
     if mesh is not None:
-        rep = jax.jit(
-            lambda x: x, out_shardings=NamedSharding(mesh, P()))(a)
-        return np.asarray(rep)
+        return np.asarray(_replicator(mesh)(a))
     from jax.experimental import multihost_utils
 
     return np.asarray(multihost_utils.process_allgather(a, tiled=True))

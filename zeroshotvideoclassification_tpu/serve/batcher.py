@@ -17,11 +17,12 @@ both matches XLA's dispatch model and keeps compiled-shape reuse trivial:
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
 import time
 from concurrent.futures import Future
-from typing import Callable, List, Sequence
+from typing import Callable, Deque, List, Sequence
 
 
 class MicroBatcher:
@@ -42,7 +43,9 @@ class MicroBatcher:
         self._stop = threading.Event()
         self.n_requests = 0
         self.n_batches = 0
-        self.batch_sizes: List[int] = []
+        # bounded: an always-on server would otherwise leak one int per batch
+        self.batch_sizes: Deque[int] = collections.deque(maxlen=1000)
+        self.batch_latency_s: Deque[float] = collections.deque(maxlen=1000)
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -50,7 +53,7 @@ class MicroBatcher:
         if self._stop.is_set():
             raise RuntimeError("batcher is shut down")
         fut: Future = Future()
-        self._q.put((item, fut))
+        self._q.put((item, fut, time.monotonic()))
         return fut
 
     def __call__(self, item):
@@ -86,8 +89,9 @@ class MicroBatcher:
             batch = self._collect()
             if not batch:
                 continue
-            items = [it for it, _ in batch]
-            futures = [f for _, f in batch]
+            items = [it for it, _, _ in batch]
+            futures = [f for _, f, _ in batch]
+            submitted = [t for _, _, t in batch]
             self.n_requests += len(batch)
             self.n_batches += 1
             self.batch_sizes.append(len(batch))
@@ -102,18 +106,42 @@ class MicroBatcher:
                     if not f.done():
                         f.set_exception(e)
                 continue
-            for f, r in zip(futures, results):
+            done = time.monotonic()
+            for f, r, t in zip(futures, results, submitted):
+                self.batch_latency_s.append(done - t)
                 f.set_result(r)
 
     def shutdown(self, timeout: float = 5.0):
+        """Stop the worker and fail any still-pending futures: items queued
+        but never collected would otherwise block their request threads for
+        the caller's full result timeout."""
         self._stop.set()
         self._worker.join(timeout=timeout)
+        while True:
+            try:
+                _, fut, _ = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError("batcher shut down"))
+
+    @staticmethod
+    def _percentile(sorted_vals: List[float], q: float) -> float:
+        if not sorted_vals:
+            return 0.0
+        i = min(len(sorted_vals) - 1, int(round(q * (len(sorted_vals) - 1))))
+        return sorted_vals[i]
 
     def stats(self) -> dict:
-        sizes = self.batch_sizes[-1000:]
+        sizes = list(self.batch_sizes)
+        lat = sorted(self.batch_latency_s)
         return {
             "requests": self.n_requests,
             "batches": self.n_batches,
             "mean_batch": (sum(sizes) / len(sizes)) if sizes else 0.0,
             "max_batch_seen": max(sizes) if sizes else 0,
+            # submit -> result, over the last <=1000 completed requests
+            "latency_p50_ms": round(self._percentile(lat, 0.50) * 1e3, 3),
+            "latency_p95_ms": round(self._percentile(lat, 0.95) * 1e3, 3),
+            "latency_max_ms": round(lat[-1] * 1e3, 3) if lat else 0.0,
         }

@@ -17,7 +17,7 @@ from bs16 to bs128; ROADMAP "serving batch scaling").
 from __future__ import annotations
 
 import time
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -33,10 +33,14 @@ class InferenceEngine:
         n_clips: int = 4,
         clip_len: int = 16,
         size: int = 112,
-        max_batch: int = 16,
+        max_batch: int = 128,
         compute_dtype: str = "bfloat16",
         top_k: int = 5,
     ):
+        # max_batch defaults to the measured amortization knee: the serving
+        # forward runs 916 -> 1653 clips/s/chip from bs16 to bs128 on v5e
+        # (ROADMAP "serving batch curve under the 64 MiB flag"); below the
+        # knee each dispatch pays un-amortized per-step overhead.
         from zeroshotvideoclassification_tpu.cli.infer import (
             build_scoring_state,
         )
@@ -56,11 +60,15 @@ class InferenceEngine:
 
     # ------------------------------------------------------------- embed ----
     def embed_paths(self, paths: Sequence[str]):
-        """paths (<= max_batch, one loader kind per call group is NOT
-        required — they are grouped here) -> (emb [n, 300], ok [n])."""
+        """paths (<= max_batch, loader kinds freely mixed) ->
+        (emb [n, 300], ok [n]).
+
+        One table with the per-path 'auto' decoder -> ONE padded dispatch at
+        the engine's static shape, regardless of how many loader kinds the
+        request mixes (a frame-dir + .mp4 + .npy request used to cost three
+        max_batch-padded forwards)."""
         import jax
 
-        from zeroshotvideoclassification_tpu.cli.infer import detect_loader
         from zeroshotvideoclassification_tpu.data.datasets import VideoTable
         from zeroshotvideoclassification_tpu.data.pipeline import (
             HostPipeline,
@@ -70,35 +78,25 @@ class InferenceEngine:
         n = len(paths)
         if n > self.max_batch:
             raise ValueError(f"{n} paths > max_batch {self.max_batch}")
-        emb = np.zeros((n, self.class_embed.shape[1]), np.float32)
-        ok = np.zeros((n,), bool)
-        by_loader: Dict[str, list] = {}
-        for i, p in enumerate(paths):
-            by_loader.setdefault(detect_loader(p), []).append(i)
-        for loader, idxs in by_loader.items():
-            table = VideoTable(
-                name="serve", fnames=np.asarray([paths[i] for i in idxs],
-                                                object),
-                label_idx=np.zeros(len(idxs), np.int32),
-                classes=self.class_names, class_embed=self.class_embed,
-                loader=loader, is_validation=True,
-                n_clips=self.config.n_clips)
-            # ONE padded batch at the engine's static shape (prefetch off:
-            # a single batch has nothing to overlap)
-            cfg = self.config.replace(prefetch_depth=0)
-            hb = next(iter(HostPipeline(table, cfg, self.max_batch, seed=0)))
-            batch = device_batch(hb, table.n_clips, self.config.clip_len)
-            t0 = time.perf_counter()
-            out = self.eval_step(self.state.params, self.state.model_state,
-                                 batch["x"])
-            out = np.asarray(jax.device_get(out))
-            self.device_seconds += time.perf_counter() - t0
-            self.n_dispatches += 1
-            w = np.asarray(jax.device_get(batch["weight"]))
-            for row, i in enumerate(idxs):
-                emb[i] = out[row]
-                ok[i] = w[row] > 0
-        return emb, ok
+        table = VideoTable(
+            name="serve", fnames=np.asarray(list(paths), object),
+            label_idx=np.zeros(n, np.int32),
+            classes=self.class_names, class_embed=self.class_embed,
+            loader="auto", is_validation=True,
+            n_clips=self.config.n_clips)
+        # ONE padded batch at the engine's static shape (prefetch off:
+        # a single batch has nothing to overlap)
+        cfg = self.config.replace(prefetch_depth=0)
+        hb = next(iter(HostPipeline(table, cfg, self.max_batch, seed=0)))
+        batch = device_batch(hb, table.n_clips, self.config.clip_len)
+        t0 = time.perf_counter()
+        out = self.eval_step(self.state.params, self.state.model_state,
+                             batch["x"])
+        out = np.asarray(jax.device_get(out))
+        self.device_seconds += time.perf_counter() - t0
+        self.n_dispatches += 1
+        w = np.asarray(jax.device_get(batch["weight"]))
+        return out[:n].astype(np.float32), w[:n] > 0
 
     # ----------------------------------------------------------- classify ---
     def classify(self, paths: Sequence[str]) -> List[dict]:

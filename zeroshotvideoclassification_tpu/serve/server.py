@@ -11,7 +11,14 @@ Endpoints:
   POST /classify   {"videos": ["/path/a.mp4", ...]}           -> results[]
                    (or {"video": "/path/a.mp4"} -> one result)
   GET  /healthz    liveness + model identity
-  GET  /stats      request/batch/dispatch counters
+  GET  /stats      request/batch/dispatch counters + latency percentiles
+
+Trust model: /classify takes FILESYSTEM PATHS and decodes them with the
+serving process's privileges, so a client can probe file existence and read
+any video the process can. The default bind is loopback (127.0.0.1), where
+the client already has that access. When exposing beyond loopback
+(--host 0.0.0.0), set `data_root`: paths whose realpath falls outside it are
+rejected with 400 before touching the filesystem.
 
 Start:  python -m zeroshotvideoclassification_tpu.cli.serve \
             --weights run/checkpoint.npz --classes "a" "b" --port 8000
@@ -20,6 +27,7 @@ Start:  python -m zeroshotvideoclassification_tpu.cli.serve \
 from __future__ import annotations
 
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
@@ -31,15 +39,27 @@ from zeroshotvideoclassification_tpu.serve.engine import InferenceEngine
 class ZeroShotService:
     """Engine + batcher + counters; the handler delegates here."""
 
-    def __init__(self, engine: InferenceEngine, max_wait_s: float = 0.01):
+    def __init__(self, engine: InferenceEngine, max_wait_s: float = 0.01,
+                 data_root: Optional[str] = None):
         self.engine = engine
         self.batcher = MicroBatcher(
             self._process, max_batch=engine.max_batch, max_wait_s=max_wait_s)
         self._lock = threading.Lock()
         self.n_http = 0
+        self.data_root = (os.path.realpath(data_root)
+                          if data_root is not None else None)
 
     def _process(self, paths):
         return self.engine.classify(paths)
+
+    def path_allowed(self, path: str) -> bool:
+        """data_root confinement (module docstring trust model); always True
+        when no root is configured."""
+        if self.data_root is None:
+            return True
+        real = os.path.realpath(path)
+        return real == self.data_root or real.startswith(
+            self.data_root + os.sep)
 
     def classify(self, paths):
         futs = [self.batcher.submit(p) for p in paths]
@@ -95,7 +115,14 @@ def make_handler(service: ZeroShotService):
                     self._send(400, {"error": "need 'videos': [paths] or "
                                               "'video': path"})
                     return
-                results = service.classify([str(p) for p in paths])
+                paths = [str(p) for p in paths]
+                denied = [p for p in paths
+                          if not service.path_allowed(p)]
+                if denied:
+                    self._send(400, {"error": "path outside --data_root",
+                                     "paths": denied})
+                    return
+                results = service.classify(paths)
                 self._send(200, {"results": results} if "videos" in req
                            else results[0])
             except Exception as e:  # noqa: BLE001 — serving must not die
@@ -106,10 +133,12 @@ def make_handler(service: ZeroShotService):
 
 def serve_forever(engine: InferenceEngine, host: str = "127.0.0.1",
                   port: int = 8000, max_wait_s: float = 0.01,
-                  ready_event: Optional[threading.Event] = None):
+                  ready_event: Optional[threading.Event] = None,
+                  data_root: Optional[str] = None):
     """Blocking server loop; returns the (server, service) pair via
     start_server for embedding/tests."""
-    server, service = start_server(engine, host, port, max_wait_s)
+    server, service = start_server(engine, host, port, max_wait_s,
+                                   data_root=data_root)
     if ready_event is not None:
         ready_event.set()
     try:
@@ -119,10 +148,12 @@ def serve_forever(engine: InferenceEngine, host: str = "127.0.0.1",
 
 
 def start_server(engine: InferenceEngine, host: str = "127.0.0.1",
-                 port: int = 0, max_wait_s: float = 0.01):
+                 port: int = 0, max_wait_s: float = 0.01,
+                 data_root: Optional[str] = None):
     """Non-blocking: bind (port 0 = ephemeral), run the accept loop on a
     daemon thread, return (server, service). Tests and notebooks use this."""
-    service = ZeroShotService(engine, max_wait_s=max_wait_s)
+    service = ZeroShotService(engine, max_wait_s=max_wait_s,
+                              data_root=data_root)
     server = ThreadingHTTPServer((host, port), make_handler(service))
     th = threading.Thread(target=server.serve_forever, daemon=True)
     th.start()
