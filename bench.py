@@ -11,11 +11,22 @@ ESTIMATED 120 clips/sec for the reference's V100 + AMP DataParallel setup
 era sustained ~100-150 clips/s/GPU). Revisit when a measured number exists.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Resilience: the axon TPU relay is flaky — round 3's capture died on a
+transient "Unable to initialize backend 'axon': UNAVAILABLE", and a later
+probe HUNG instead of failing. JAX caches a failed backend init for the
+process lifetime, so retries must cross a process boundary: by default
+main() supervises the measurement in a child process with a per-attempt
+timeout and bounded backoff (30/120/480 s — a relay outage recovers in
+~15 min), re-printing the child's JSON line on success. After the last
+attempt it prints an on-failure JSON diagnostic line (value=null, error,
+attempts) instead of a bare traceback. --smoke runs inline (CPU, no flake).
 """
 
 import argparse
 import functools
 import json
+import subprocess
 import sys
 import time
 
@@ -297,7 +308,7 @@ def run_e2e(bs: int, clip_len: int, size: int, steps: int, network: str,
     }
 
 
-def main():
+def build_arg_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
     p.add_argument("--bs", type=int, default=16)
     p.add_argument("--clip_len", type=int, default=16)
@@ -320,18 +331,38 @@ def main():
     p.add_argument("--remat", nargs="?", const="full", default=False,
                    choices=["full", "convs"],
                    help="rematerialization A/B (train mode only)")
-    args = p.parse_args()
-    if args.smoke:
-        args.bs, args.clip_len, args.size, args.steps = 2, 4, 32, 2
+    p.add_argument("--attempts", type=int, default=4,
+                   help="bounded retries across a flaky backend/relay; each "
+                        "attempt is a fresh process (JAX caches a failed "
+                        "backend init for the process lifetime)")
+    p.add_argument("--attempt_timeout", type=float, default=1800.0,
+                   help="seconds before a hung attempt is killed and retried")
+    p.add_argument("--_worker", action="store_true", help=argparse.SUPPRESS)
+    return p
 
+
+def metric_name(args) -> str:
+    """The JSON 'metric' key for this configuration (shared by the success
+    path and the on-failure diagnostic line)."""
+    if args.eval:
+        return (f"eval_clips_per_sec_per_chip_{args.network}_bs{args.bs}"
+                f"_len{args.clip_len}_{args.size}px_bf16")
+    if args.e2e:
+        return (f"e2e_train_clips_per_sec_per_chip_{args.network}"
+                f"_bs{args.bs}_len{args.clip_len}_{args.size}px_{args.source}")
+    suffix = f"_remat_{args.remat}" if args.remat else ""
+    return (f"train_clips_per_sec_per_chip_{args.network}_bs{args.bs}"
+            f"_len{args.clip_len}_{args.size}px_bf16{suffix}")
+
+
+def run_and_print(args):
     if args.eval:
         value, step_time, n_chips = run_eval_bench(
             args.bs, args.clip_len, args.size, args.steps,
             args.network, args.smoke)
         value /= n_chips
         print(json.dumps({
-            "metric": f"eval_clips_per_sec_per_chip_{args.network}_bs{args.bs}"
-                      f"_len{args.clip_len}_{args.size}px_bf16",
+            "metric": metric_name(args),
             "value": round(value, 2),
             "unit": "clips/s/chip",
             "vs_baseline": round(value / V100_REFERENCE_CLIPS_PER_SEC_ESTIMATE, 3),
@@ -346,9 +377,7 @@ def main():
                     h2d_window=not args.no_h2d_window)
         value = r["e2e_clips_per_sec"] / r["n_chips"]
         print(json.dumps({
-            "metric": f"e2e_train_clips_per_sec_per_chip_{args.network}"
-                      f"_bs{args.bs}_len{args.clip_len}_{args.size}px"
-                      f"_{args.source}",
+            "metric": metric_name(args),
             "value": round(value, 2),
             "unit": "clips/s/chip",
             "vs_baseline": round(value / V100_REFERENCE_CLIPS_PER_SEC_ESTIMATE, 3),
@@ -361,15 +390,70 @@ def main():
     value, step_time, n_chips = run_bench(
         args.bs, args.clip_len, args.size, args.steps,
         args.network, args.smoke, remat=args.remat)
-    suffix = f"_remat_{args.remat}" if args.remat else ""
     print(json.dumps({
-        "metric": f"train_clips_per_sec_per_chip_{args.network}_bs{args.bs}"
-                  f"_len{args.clip_len}_{args.size}px_bf16{suffix}",
+        "metric": metric_name(args),
         "value": round(value, 2),
         "unit": "clips/s/chip",
         "vs_baseline": round(value / V100_REFERENCE_CLIPS_PER_SEC_ESTIMATE, 3),
     }))
     print(f"# step_time={step_time*1e3:.1f}ms n_chips={n_chips}", file=sys.stderr)
+
+
+def supervise(args):
+    """Run the measurement in child processes with bounded retries.
+
+    Retryable outcomes: nonzero exit (e.g. the relay's UNAVAILABLE backend
+    init), no parseable JSON line, or a hang past --attempt_timeout. A fresh
+    process per attempt is REQUIRED: jax caches a failed backend init for
+    the process lifetime, so an in-process retry would re-raise forever."""
+    delays = [30 * (4 ** i) for i in range(max(args.attempts - 1, 0))]
+    last_err = "no attempts ran"
+    for attempt in range(1, args.attempts + 1):
+        cmd = [sys.executable, __file__] + sys.argv[1:] + ["--_worker"]
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=args.attempt_timeout)
+        except subprocess.TimeoutExpired as e:
+            for s in (e.stdout, e.stderr):
+                if s:
+                    sys.stderr.write(s if isinstance(s, str) else s.decode())
+            last_err = (f"attempt {attempt} hung past "
+                        f"{args.attempt_timeout:.0f}s and was killed")
+            sys.stderr.write(f"# {last_err}\n")
+        else:
+            sys.stderr.write(proc.stderr)
+            line = next((ln for ln in reversed(proc.stdout.splitlines())
+                         if ln.startswith('{"metric"')), None)
+            if proc.returncode == 0 and line:
+                print(line)
+                return
+            tail = " | ".join(proc.stderr.strip().splitlines()[-3:])
+            last_err = f"attempt {attempt} rc={proc.returncode}: {tail}"
+            sys.stderr.write(f"# {last_err}\n")
+        if attempt <= len(delays):
+            sys.stderr.write(f"# retrying in {delays[attempt - 1]}s "
+                             f"({attempt}/{args.attempts} attempts used)\n")
+            time.sleep(delays[attempt - 1])
+    # exhausted: a diagnostic JSON line, not a bare traceback
+    print(json.dumps({
+        "metric": metric_name(args),
+        "value": None,
+        "unit": "clips/s/chip",
+        "vs_baseline": None,
+        "error": last_err[:2000],
+        "attempts": args.attempts,
+    }))
+    sys.exit(1)
+
+
+def main():
+    args = build_arg_parser().parse_args()
+    if args.smoke:
+        args.bs, args.clip_len, args.size, args.steps = 2, 4, 32, 2
+    if args._worker or args.smoke:
+        run_and_print(args)
+        return
+    supervise(args)
 
 
 if __name__ == "__main__":

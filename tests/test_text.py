@@ -72,7 +72,9 @@ def test_kinetics_stopwords_and_parens():
 def test_activitynet_underscores():
     assert class_name_to_words("activitynet", "Ping-pong") == ["table", "tennis"]
     assert class_name_to_words("activitynet", " Ping-pong") == ["table", "tennis"]
-    assert class_name_to_words("activitynet", "Washing_dishes") == ["wash", "dishes"]
+    # 'dish' has a WordNet verb synset ("dish out"), so real WordNet
+    # lemmatizes the plural — pinned in tests/test_lemma_goldens.py
+    assert class_name_to_words("activitynet", "Washing_dishes") == ["wash", "dish"]
 
 
 def test_sun_split_no_lemma():

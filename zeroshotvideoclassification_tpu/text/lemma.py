@@ -154,6 +154,7 @@ _VERB_EXC = {
     "sold": "sell", "selling": "sell",
     "told": "tell", "telling": "tell",
     "went": "go", "gone": "go", "going": "go",
+    "was": "be", "were": "be", "been": "be", "being": "be",
     "did": "do", "done": "do", "doing": "do",
     "seen": "see", "seeing": "see",
     "took": "take", "taken": "take", "taking": "take",
@@ -188,40 +189,54 @@ _VERB_EXC = {
 }
 
 # Base-form verbs that exist as WordNet verb lemmas, covering the action
-# vocabulary of the supported datasets.
+# vocabulary of the supported datasets (every entry hand-checked to be a
+# WordNet 3.0 verb lemma; tests/test_lemma_goldens.py pins the behavior on
+# the full public class vocabularies in assets/class_vocab/).
 _VERB_LEXICON = frozenset("""
-apply arch argue arrange assemble awake bake balance band bat bathe beg belly
-bend bike blast blend blow board bob boat bowl box braid break breakdance brew
-bribe bring brush build bump bungee burp bury bust buy calculate camp carry
-cart carve cast catch celebrate change chase chat check cheer chew chop clap
-clean clear climb clip coach color comb come cook count crack craft crawl
-cry cuddle curl dance deal decorate dice die dig dine dip dive do dodge drag
-draw dress dribble drink drive drop drum dry dunk dust dye eat eggs embroider
-exercise extinguish face fall feed fence fetch fight fill film find finger fish
-fix flip float fly fold fondle forge freeze fry garden gargle get give glide go
-golf grab grill grin grind groom guard gut hammer hand handle hang harvest
-hatch head hear helicopter herd hike hit hold hop hose huddle hug hula hum hunt
-hurdle hurl ice inflate iron jack jog juggle juice jump keep kick kiss kite
-knead kneel knit knock know land laugh launch lay lead leap learn leave lick
-lie lift light line listen live long look lose lunge make march marinate
-massage meet milk mime mix moon mop mosh move mow nail nod open paddle paint
-park parkour pass pat pay peel perform pet photograph pick picnic pinch pirouette
-pitch plan plant play plow pole polish post pour practice present press pretend
-pull pump punch push put race raft raise rake rappel read record reel repair
-rescue ride rinse rip roast rob rock roll rope row rub run sail salsa salute
-sand save saw say scan score scramble scrape scrub scuba seal seat see serve
-set sew shake shape sharpen shave shear shine shoe shoot shop shovel show
-shred shuffle shut sign sing sip sit skate sketch ski skid skip skydive slack
-slam slap sled sleep slice slide sling smash smell smile smoke snap snatch
-sneeze sniff snore snorkel snow snowboard somersault sort speak spin spit
-splash spray spread spring sprint squat squeeze stack stand staple stare start
-steal steer step stick stir stomp stretch stride strike string strum strut
-stuff surf swallow sweep swim swing tackle tag take talk tap tape taste
-tast teach tear tell tend test text think throw thrust tickle tie till tilt
-toss train trade trap travel tread trim trip try tumble turn tug twist type
-unbox unload unpack use vacuum vault visit wade wait wake walk wash watch
-water waterski wave wax weave weld whip whistle win wind windsurf wink wipe
-work wrap wrestle write yawn yell zip zumba bow bounce brush catch chase climb
+abseil act adjust anchor answer applaud apply arch argue arrange arrest
+assemble attend auction awake bag bake balance ball balloon band bandage
+bar barbeque bartend bat bathe be beg belly bend bike bird blast blend blow
+board bob boat bobsled
+bottle bowl box braid branch break breakdance breathe brew bribe bring brush
+bubble build bulldoze bump bungee burn burp bury busk bust buy calculate camp
+candle canoe capsize card carry cart cartwheel carve cast catch celebrate
+change chase chat check checker cheer cheerlead chew chip chisel chop clap
+claw clean clear climb clip close clothe coach collect color comb come conga
+contort cook cough count crack craft crawl crochet cross crunch cry cuddle
+cup curl dance dart deal deck decorate deliver detect dice die dig dine dip
+direct dish dive do dock dodge drag draw dress dribble drink drive drool drop
+drum dry dunk dust dye eat egg embroider enter exercise extinguish eye face
+fall feed felt fence fetch fidget fight fill film find finger fish fix flip
+float flower fly fold fondle forage forge freeze fry game garden gargle get
+give glass glide go golf grab grill grin grind groom guard gut gutter hammer
+hand handle hang harvest hatch have head hear hedge helicopter herd hike hit
+hold hoop hop hose huddle hug hula hum hunt hurdle hurl ice inflate install
+interpret iron jack jaywalk jog juggle juice jump kayak keep kick kickbox
+kiss kite knap knead kneel knit knock know knuckle lace land laugh launch lay
+lead leap learn leave leg let lick lie lift light line listen live long look
+lose lunge make marble march marinate massage meet milk mime mix moon mop
+mosh motorcycle move mow nail nod open oyster pack paddle paint pan park
+parkour pass pat pay peel perform pet photocopy photograph pick picnic pierce
+pin pinch pipe pirouette pitch plan plant plaster plate play plow poach poke
+pole polish pop post pour practice prepare present press pretend pull pump
+punch push put question race raft raise rake rappel read receive record reel
+remove repair rescue ride ring rinse rip roast rob rock roll rollerblade rope
+row rub run sail salsa salute sand save saw say scallop scan scissor score
+scramble scrape scrub scuba seal season seat see separate serve set sew shake
+shape shark sharpen shave shear shine shoe shoot shop shovel show shred
+shuck shuffle shut sieve sign sing sip sit skate skateboard sketch ski skid
+skip skydive slack slam slap sled sleep slice slide sling smash smell smile
+smoke snap snatch sneeze sniff snore snorkel snow snowball snowboard
+snowmobile somersault sort speak spelunk spike spin spit splash spray spread
+spring sprint squat squeeze stack stand staple stare start steal steer step
+stick stir stomp stretch stride strike string strum strut stuff suck surf
+survey swallow sweep swim swing tackle tag take talk tap tape taste
+teach tear tell tend test testify text think thread throw thrust tickle tie
+tile till tilt tiptoe tire toboggan toss train trade trap travel tread treat
+tree trim trip try tube tumble turn tug twiddle twirl twist type unbox
+uncork unload unpack up use vacuum vault visit wade wait wake walk wash
+watch water waterski wave wax weave weld whip whistle win wind windsurf wink
+wipe work wrap wrestle write yawn yell zip zumba bow bounce
 """.split())
 
 _VERB_RULES = (  # WordNet verb rules of detachment (suffix, replacement)
@@ -250,15 +265,20 @@ def _candidates(word: str) -> List[str]:
 
 
 def _fallback_base_verb(word: str) -> Optional[str]:
-    """Return the base verb form if `word` looks like an (inflected) verb."""
+    """Return the base verb form if `word` looks like an (inflected) verb.
+
+    Mirrors NLTK's WordNetLemmatizer.lemmatize(word, 'v') semantics:
+    _morphy keeps the form itself (when it is a verb lemma) alongside the
+    exception/rule candidates, and lemmatize picks the SHORTEST surviving
+    candidate (ties -> first). The min-by-length step is observable on real
+    class names — WordNet maps 'planing' to 'plan', not 'plane', because
+    both detach and 'plan' is shorter."""
     if word in _VERB_EXC:
-        return _VERB_EXC[word]
-    if word in _VERB_LEXICON:
-        return word
-    for cand in _candidates(word):
-        if cand in _VERB_LEXICON:
-            return cand
-    return None
+        cands = ([word] if word in _VERB_LEXICON else []) + [_VERB_EXC[word]]
+        return min(cands, key=len)
+    cands = [word] if word in _VERB_LEXICON else []
+    cands += [c for c in _candidates(word) if c in _VERB_LEXICON]
+    return min(cands, key=len) if cands else None
 
 
 def verbs2basicform(words: Sequence[str]) -> List[str]:
