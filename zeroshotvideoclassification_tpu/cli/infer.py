@@ -118,6 +118,7 @@ def classify_videos(
     from zeroshotvideoclassification_tpu.data.pipeline import (
         HostPipeline,
         device_batch,
+        transform_out_dtype,
     )
     from zeroshotvideoclassification_tpu.ops.cdist import cosine_distances
 
@@ -146,7 +147,8 @@ def classify_videos(
         pipe = HostPipeline(table, config, args.bs, seed=0)
         embs, weights = [], []
         for host in pipe:
-            batch = device_batch(host, table.n_clips, config.clip_len)
+            batch = device_batch(host, table.n_clips, config.clip_len,
+                                 out_dtype=transform_out_dtype(config))
             embs.append(np.asarray(jax.device_get(
                 eval_step(state.params, state.model_state, batch["x"]))))
             weights.append(np.asarray(jax.device_get(batch["weight"])))

@@ -62,6 +62,16 @@ def _dtype(config: Config):
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[config.compute_dtype]
 
 
+def _transform_dtype(config: Config):
+    """Fused-transform output dtype; 'auto' follows compute_dtype (bf16 out
+    is bit-identical under bf16 compute — see Config.transform_dtype)."""
+    from zeroshotvideoclassification_tpu.data.pipeline import (
+        transform_out_dtype,
+    )
+
+    return transform_out_dtype(config)
+
+
 def _find_latest_checkpoint(base: str):
     """Newest full-state checkpoint for --resume auto: last.npz (periodic)
     or checkpoint.npz (best-by-accuracy) under the base savename or any of
@@ -398,7 +408,8 @@ class Experiment:
                         classes=table.classes if host.label[0] >= 0 else None)
                     sample_saved = True
                 sharded = device_batch_global(
-                    self.mesh, host, table.n_clips, cfg.clip_len)
+                    self.mesh, host, table.n_clips, cfg.clip_len,
+                    out_dtype=_transform_dtype(cfg))
                 if spc > 1 and self.scan_train_step is not None:
                     pending.append(sharded)
                     if len(pending) == spc:
@@ -446,7 +457,8 @@ class Experiment:
             except ImportError:
                 pass
         batches = (device_batch_global(self.mesh, h, table.n_clips,
-                                       cfg.clip_len)
+                                       cfg.clip_len,
+                                       out_dtype=_transform_dtype(cfg))
                    for h in source)
         pred, true_e, true_l = extract_embeddings(
             self.eval_step, self.state.params, self.state.model_state, batches,

@@ -405,6 +405,21 @@ def _shard_map_nocheck():
         return functools.partial(shard_map, check_rep=False)
 
 
+def transform_out_dtype(config):
+    """Resolve Config.transform_dtype ('auto' follows compute_dtype).
+
+    bf16 transform output is BIT-IDENTICAL under bf16 compute — the stem
+    conv casts x to the compute dtype anyway, so only WHERE the f32->bf16
+    rounding happens moves — while halving the transform's HBM write and
+    the stem's activation read (Config.transform_dtype)."""
+    import jax.numpy as jnp
+
+    name = getattr(config, "transform_dtype", "auto")
+    if name == "auto":
+        name = getattr(config, "compute_dtype", "float32")
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
 def device_batch(host_batch: HostBatch, n_clips: int, clip_len: int,
                  out_dtype=None) -> Dict:
     """Run the fused transform and shape the model input.

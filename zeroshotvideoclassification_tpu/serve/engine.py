@@ -73,6 +73,7 @@ class InferenceEngine:
         from zeroshotvideoclassification_tpu.data.pipeline import (
             HostPipeline,
             device_batch,
+            transform_out_dtype,
         )
 
         n = len(paths)
@@ -88,7 +89,8 @@ class InferenceEngine:
         # a single batch has nothing to overlap)
         cfg = self.config.replace(prefetch_depth=0)
         hb = next(iter(HostPipeline(table, cfg, self.max_batch, seed=0)))
-        batch = device_batch(hb, table.n_clips, self.config.clip_len)
+        batch = device_batch(hb, table.n_clips, self.config.clip_len,
+                             out_dtype=transform_out_dtype(self.config))
         t0 = time.perf_counter()
         out = self.eval_step(self.state.params, self.state.model_state,
                              batch["x"])
