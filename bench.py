@@ -73,12 +73,16 @@ def run_bench(bs: int, clip_len: int, size: int, steps: int,
 
     rng = np.random.default_rng(0)
     n_classes = 64
+    # the production step's input is the fused transform's output, which
+    # emits the compute dtype (Config.transform_dtype 'auto' -> bf16);
+    # feed the same dtype so the measured program IS the shipped program
     x = rng.uniform(-0.5, 0, (bs, 1, clip_len, size, size, 3)).astype(np.float32)
     class_embed = rng.normal(size=(n_classes, 300)).astype(np.float32)
     class_embed /= np.linalg.norm(class_embed, axis=1, keepdims=True)
     labels = rng.integers(0, n_classes, size=bs).astype(np.int32)
     z = class_embed[labels]
     weight = np.ones(bs, np.float32)
+    x = x.astype(jnp.bfloat16)
     if n_chips > 1:
         xb, zb, lb, wb = shard_batch(mesh, (x, z, labels, weight))
     else:
@@ -135,8 +139,12 @@ def run_eval_bench(bs: int, clip_len: int, size: int, steps: int,
     ts = create_train_state(model, make_optimizer(config.lr),
                             jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
+    # production parity: the serving forward reads the fused transform's
+    # output, which emits the compute dtype (bf16 off-smoke)
     x = jnp.asarray(rng.uniform(
         -0.5, 0, (bs, 1, clip_len, size, size, 3)).astype(np.float32))
+    if not smoke:
+        x = x.astype(jnp.bfloat16)
 
     from zeroshotvideoclassification_tpu.utils.xla_tuning import (
         tpu_compiler_options)
@@ -270,9 +278,14 @@ def run_e2e(bs: int, clip_len: int, size: int, steps: int, network: str,
                            compute_dtype=jnp.float32 if smoke else jnp.bfloat16)
     key = jax.random.PRNGKey(0)
 
+    # match the driver: the fused transform emits the compute dtype
+    # (Config.transform_dtype 'auto'; bit-identical under bf16 compute)
+    out_dtype = jnp.float32 if smoke else jnp.bfloat16
+
     def one(ts, hb, key):
         key, sub = jax.random.split(key)
-        batch = device_batch_global(mesh, hb, table.n_clips, config.clip_len)
+        batch = device_batch_global(mesh, hb, table.n_clips, config.clip_len,
+                                    out_dtype=out_dtype)
         ts, metrics = step(ts, batch["x"], batch["z"], batch["label"],
                            batch["weight"], ce, sub)
         return ts, metrics, key
