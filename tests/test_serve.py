@@ -195,6 +195,24 @@ def test_mixed_loader_request_is_one_dispatch(serving):
     assert all("top_class" in r for r in results)
 
 
+def test_bucketed_dispatch_shapes(serving):
+    """A lone request must pad to the smallest ladder shape, not straight to
+    max_batch: with max_batch=16 the ladder is [8, 16], so one clip costs a
+    bs-8 forward (half the knee shape's padding FLOPs at this scale)."""
+    from zeroshotvideoclassification_tpu.serve import InferenceEngine
+
+    engine = InferenceEngine(
+        serving["classes"], serving["class_embed"], network="r3d_18",
+        head="mlp", weights=None, n_clips=1, clip_len=2, size=32,
+        max_batch=16, compute_dtype="float32")
+    assert engine.batch_buckets == [8, 16]
+    engine.classify([serving["paths"][0]])
+    assert engine.bucket_dispatches == {8: 1, 16: 0}
+    assert engine.stats()["batch_buckets"] == {"8": 1, "16": 0}
+    # the module fixture's max_batch=4 collapses the ladder to [4]
+    assert serving["engine"].batch_buckets == [4]
+
+
 def test_data_root_confinement(serving):
     """With data_root set, /classify rejects paths resolving outside it
     BEFORE touching the filesystem; paths inside still classify."""

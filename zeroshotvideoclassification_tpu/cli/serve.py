@@ -32,10 +32,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max_batch", type=int, default=128,
-                   help="static device batch; concurrent requests coalesce "
+                   help="largest device batch; concurrent requests coalesce "
                         "up to this many per dispatch (default = the "
                         "measured amortization knee, ROADMAP serving batch "
-                        "curve)")
+                        "curve). Each dispatch pads to the smallest shape "
+                        "of an 8/16/32/64/max ladder that fits, so small "
+                        "requests keep small latency")
     p.add_argument("--max_wait_ms", type=float, default=10.0,
                    help="batching window after the first queued request")
     p.add_argument("--data_root", default=None,

@@ -1,11 +1,15 @@
 """Inference engine: checkpoint + class names -> batched zero-shot scoring.
 
 The device half of the serving front-end. One engine owns the model, the
-scoring state and ONE compiled eval shape ([max_batch, n_clips, T, S, S, 3],
-zero-weight padded — the training pipeline's broken-sample convention), so
-every micro-batch the batcher hands over reuses the same executable. Decode
-runs in the caller's threads (GIL-free native JPEG/libav decoders); the
-engine itself only packs, dispatches, and ranks.
+scoring state and a small LADDER of compiled eval shapes
+([bucket, n_clips, T, S, S, 3] for bucket in 8..max_batch, zero-weight
+padded — the training pipeline's broken-sample convention): each dispatch
+pads to the smallest bucket that fits, so a lone request costs a bs-8
+forward (~16x fewer FLOPs than padding straight to the bs-128 amortization
+knee) while saturated micro-batches still ride the knee shape. jit compiles
+each bucket once on first use (persistent XLA cache across restarts).
+Decode runs in the caller's threads (GIL-free native JPEG/libav decoders);
+the engine itself only packs, dispatches, and ranks.
 
 The reference has no serving story at all — its user journey ends at
 dataset-level evaluation (/root/reference/main.py:224-325); cli/infer.py
@@ -50,6 +54,12 @@ class InferenceEngine:
         self.class_embed = np.asarray(class_embed, np.float32)
         self.top_k = min(top_k, len(self.class_names))
         self.max_batch = max_batch
+        # dispatch-shape ladder: smallest bucket >= n wins. Covers the
+        # latency/throughput corner pair — single-clip requests avoid the
+        # knee shape's padding FLOPs, saturated batches still amortize.
+        self.batch_buckets = ([b for b in (8, 16, 32, 64) if b < max_batch]
+                              + [max_batch])
+        self.bucket_dispatches = {b: 0 for b in self.batch_buckets}
         self.config = Config(network=network, head=head, bs=max_batch,
                              clip_len=clip_len, size=size, n_clips=n_clips,
                              compute_dtype=compute_dtype)
@@ -63,10 +73,10 @@ class InferenceEngine:
         """paths (<= max_batch, loader kinds freely mixed) ->
         (emb [n, 300], ok [n]).
 
-        One table with the per-path 'auto' decoder -> ONE padded dispatch at
-        the engine's static shape, regardless of how many loader kinds the
-        request mixes (a frame-dir + .mp4 + .npy request used to cost three
-        max_batch-padded forwards)."""
+        One table with the per-path 'auto' decoder -> ONE padded dispatch
+        at the smallest ladder shape that fits, regardless of how many
+        loader kinds the request mixes (a frame-dir + .mp4 + .npy request
+        used to cost three max_batch-padded forwards)."""
         import jax
 
         from zeroshotvideoclassification_tpu.data.datasets import VideoTable
@@ -79,16 +89,17 @@ class InferenceEngine:
         n = len(paths)
         if n > self.max_batch:
             raise ValueError(f"{n} paths > max_batch {self.max_batch}")
+        bucket = next(b for b in self.batch_buckets if n <= b)
         table = VideoTable(
             name="serve", fnames=np.asarray(list(paths), object),
             label_idx=np.zeros(n, np.int32),
             classes=self.class_names, class_embed=self.class_embed,
             loader="auto", is_validation=True,
             n_clips=self.config.n_clips)
-        # ONE padded batch at the engine's static shape (prefetch off:
+        # ONE padded batch at the bucket's static shape (prefetch off:
         # a single batch has nothing to overlap)
         cfg = self.config.replace(prefetch_depth=0)
-        hb = next(iter(HostPipeline(table, cfg, self.max_batch, seed=0)))
+        hb = next(iter(HostPipeline(table, cfg, bucket, seed=0)))
         batch = device_batch(hb, table.n_clips, self.config.clip_len,
                              out_dtype=transform_out_dtype(self.config))
         t0 = time.perf_counter()
@@ -97,6 +108,7 @@ class InferenceEngine:
         out = np.asarray(jax.device_get(out))
         self.device_seconds += time.perf_counter() - t0
         self.n_dispatches += 1
+        self.bucket_dispatches[bucket] += 1
         w = np.asarray(jax.device_get(batch["weight"]))
         return out[:n].astype(np.float32), w[:n] > 0
 
@@ -134,5 +146,7 @@ class InferenceEngine:
             "dispatches": self.n_dispatches,
             "device_seconds": round(self.device_seconds, 3),
             "max_batch": self.max_batch,
+            "batch_buckets": {str(b): c
+                              for b, c in self.bucket_dispatches.items()},
             "classes": len(self.class_names),
         }
