@@ -33,12 +33,11 @@ class Config:
     # ---- optimization (reference main.py:36-42) ----
     lr: float = 1e-3
     n_epochs: int = 150
-    # Declared parity deviation: the reference's bare CLI default is 22
-    # (/root/reference/main.py:39, a V100-memory-motivated number); this
-    # framework defaults to 64 because TPU throughput is frame-linear across
-    # bs 8-64 (ROADMAP scaling curve) while larger batches amortize host-side
-    # packing and H2D dispatch. run.sh keeps the reference's 22 preset for
-    # exact-parity runs; pass --bs 22 for reference-equivalent global batches.
+    # Parity: 64 IS the reference CLI default (/root/reference/main.py:38);
+    # the paper-producing bs 22 lives only in its run.sh preset, which our
+    # run.sh keeps. 64 is also the happy TPU choice: throughput is
+    # frame-linear across bs 8-64 (ROADMAP scaling curve) while larger
+    # batches amortize host-side packing and H2D dispatch.
     bs: int = 64                  # per-replica batch size; global = bs * n_data_shards
     size: int = 112               # crop size
     fixconvs: bool = False        # freeze backbone (stop_gradient)
