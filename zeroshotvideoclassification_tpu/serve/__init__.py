@@ -1,9 +1,10 @@
 """Serving front-end: micro-batching HTTP endpoint over a trained checkpoint.
 
 The reference ends at dataset evaluation; this layer productionizes the
-zero-shot classifier: InferenceEngine (one compiled eval shape, padded
-batches) + MicroBatcher (max-batch/max-delay request coalescing) + a stdlib
-ThreadingHTTPServer. See cli/serve.py for the command-line entry point.
+zero-shot classifier: InferenceEngine (a ladder of compiled eval shapes,
+smallest-fit padded dispatch) + MicroBatcher (max-batch/max-delay request
+coalescing) + a stdlib ThreadingHTTPServer. See cli/serve.py for the
+command-line entry point.
 """
 
 from zeroshotvideoclassification_tpu.serve.batcher import MicroBatcher
