@@ -443,6 +443,10 @@ def supervise(args):
             tail = " | ".join(proc.stderr.strip().splitlines()[-3:])
             last_err = f"attempt {attempt} rc={proc.returncode}: {tail}"
             sys.stderr.write(f"# {last_err}\n")
+            if proc.returncode == 2:
+                # argparse usage error: deterministic, never worth the
+                # relay-outage backoff — fail fast with the diagnostic line
+                break
         if attempt <= len(delays):
             sys.stderr.write(f"# retrying in {delays[attempt - 1]}s "
                              f"({attempt}/{args.attempts} attempts used)\n")

@@ -35,7 +35,12 @@ CONFIGS = [
 
 
 def run_one(bs, clip_len, extra, steps, timeout):
-    cmd = [sys.executable, os.path.join(ROOT, "bench.py"), "--_worker",
+    # go through bench.py's supervisor (NOT --_worker) so each config gets
+    # its retry-on-transient-outage behavior; 2 attempts keep the sweep's
+    # worst case bounded while surviving one relay hiccup per config
+    cmd = [sys.executable, os.path.join(ROOT, "bench.py"),
+           "--attempts", "2",
+           "--attempt_timeout", str(max(60.0, timeout / 2 - 60)),
            "--bs", str(bs), "--clip_len", str(clip_len),
            "--steps", str(steps)] + extra
     try:

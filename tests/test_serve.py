@@ -213,6 +213,54 @@ def test_bucketed_dispatch_shapes(serving):
     assert serving["engine"].batch_buckets == [4]
 
 
+def test_engine_empty_request(serving):
+    """classify([]) / embed_paths([]) return empty results, not
+    StopIteration (HostPipeline yields no batches for an empty table)."""
+    engine = serving["engine"]
+    before = engine.n_dispatches
+    assert engine.classify([]) == []
+    emb, ok = engine.embed_paths([])
+    assert emb.shape == (0, serving["class_embed"].shape[1])
+    assert ok.shape == (0,)
+    assert engine.n_dispatches == before  # no device work for nothing
+
+
+def test_engine_warmup_compiles_ladder_without_counting(serving):
+    """warmup() drives every bucket shape through the real program but
+    leaves the stats counters untouched."""
+    from zeroshotvideoclassification_tpu.serve import InferenceEngine
+
+    engine = InferenceEngine(
+        serving["classes"], serving["class_embed"], network="r3d_18",
+        head="mlp", weights=None, n_clips=1, clip_len=2, size=32,
+        max_batch=16, compute_dtype="float32")
+    engine.warmup()
+    assert engine.n_dispatches == 0
+    assert engine.bucket_dispatches == {8: 0, 16: 0}
+    # post-warmup requests still work and count normally
+    engine.classify([serving["paths"][0]])
+    assert engine.bucket_dispatches == {8: 1, 16: 0}
+
+
+def test_batcher_submit_shutdown_race_fails_future():
+    """A submit whose put lands after shutdown's drain must not leave the
+    future pending forever: submit re-checks stop AFTER the put and drains.
+    Reproduce the interleaving by making submit's pre-check see 'running'
+    while the batcher is in fact already shut down (drain done)."""
+    from unittest import mock
+
+    b = MicroBatcher(lambda items: list(items), max_batch=4, max_wait_s=0.01)
+    b.shutdown()
+    with mock.patch.object(b._stop, "is_set", side_effect=[False, True]):
+        fut = b.submit(1)
+    assert fut.done()
+    with pytest.raises(RuntimeError, match="shut down"):
+        fut.result(timeout=1)
+    # and the public path raises immediately once stop is observable
+    with pytest.raises(RuntimeError, match="shut down"):
+        b.submit(2)
+
+
 def test_data_root_confinement(serving):
     """With data_root set, /classify rejects paths resolving outside it
     BEFORE touching the filesystem; paths inside still classify."""
@@ -241,11 +289,35 @@ def test_data_root_confinement(serving):
         with pytest.raises(urllib.error.HTTPError) as exc:
             post({"video": serving["tmp"] + "/../escape.npy"})
         assert exc.value.code == 400
+        # a symlink INSIDE the root pointing OUTSIDE resolves outside -> 400
+        import os
+
+        link = os.path.join(serving["tmp"], "sneaky.npy")
+        if not os.path.exists(link):
+            os.symlink("/etc/hosts", link)
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            post({"video": link})
+        assert exc.value.code == 400
         ok = post({"video": serving["paths"][0]})
         assert ok["top_class"] in serving["classes"]
+        # the response echoes the request's own path string
+        assert ok["video"] == serving["paths"][0]
     finally:
         server.shutdown()
         service.close()
+
+
+def test_data_root_filesystem_root_allows_everything(serving):
+    """--data_root / must not reject every path (the '//' prefix bug):
+    root-anchored confinement degenerates to realpath-normalization."""
+    from zeroshotvideoclassification_tpu.serve.server import ZeroShotService
+
+    svc = ZeroShotService(serving["engine"], data_root="/")
+    try:
+        assert svc.admit(serving["paths"][0]) is not None
+        assert svc.admit("/etc/hosts") == "/etc/hosts"
+    finally:
+        svc.close()
 
 
 def test_http_endpoints(serving):

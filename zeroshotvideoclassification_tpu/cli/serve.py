@@ -40,6 +40,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "requests keep small latency")
     p.add_argument("--max_wait_ms", type=float, default=10.0,
                    help="batching window after the first queued request")
+    p.add_argument("--warmup", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="compile the whole dispatch-shape ladder before "
+                        "binding the port (first requests never stall "
+                        "behind an XLA compile; the persistent cache makes "
+                        "restarts cheap). --no-warmup binds immediately")
     p.add_argument("--data_root", default=None,
                    help="if set, reject /classify paths that resolve "
                         "outside this directory (recommended with a "
@@ -67,6 +73,10 @@ def main(argv=None):
         weights=args.weights, n_clips=args.n_clips, clip_len=args.clip_len,
         size=args.size, max_batch=args.max_batch,
         compute_dtype=args.compute_dtype, top_k=args.top_k)
+    if args.warmup:
+        print(f"warming the dispatch ladder {engine.batch_buckets} ...",
+              file=sys.stderr)
+        engine.warmup()
     print(f"serving {args.network} ({len(class_names)} classes) on "
           f"http://{args.host}:{args.port}  (max_batch={args.max_batch}, "
           f"window={args.max_wait_ms}ms)", file=sys.stderr)

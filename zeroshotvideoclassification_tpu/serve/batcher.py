@@ -54,6 +54,12 @@ class MicroBatcher:
             raise RuntimeError("batcher is shut down")
         fut: Future = Future()
         self._q.put((item, fut, time.monotonic()))
+        if self._stop.is_set():
+            # shutdown() raced our put: its drain may already have finished,
+            # and the worker exits once _stop is set — nothing will ever
+            # collect this item, so drain-and-fail here (same semantics as
+            # the shutdown drain; whichever side runs last sees the item)
+            self._drain_pending()
         return fut
 
     def __call__(self, item):
@@ -111,12 +117,8 @@ class MicroBatcher:
                 self.batch_latency_s.append(done - t)
                 f.set_result(r)
 
-    def shutdown(self, timeout: float = 5.0):
-        """Stop the worker and fail any still-pending futures: items queued
-        but never collected would otherwise block their request threads for
-        the caller's full result timeout."""
-        self._stop.set()
-        self._worker.join(timeout=timeout)
+    def _drain_pending(self):
+        """Fail every future still sitting in the queue (post-stop only)."""
         while True:
             try:
                 _, fut, _ = self._q.get_nowait()
@@ -124,6 +126,14 @@ class MicroBatcher:
                 break
             if not fut.done():
                 fut.set_exception(RuntimeError("batcher shut down"))
+
+    def shutdown(self, timeout: float = 5.0):
+        """Stop the worker and fail any still-pending futures: items queued
+        but never collected would otherwise block their request threads for
+        the caller's full result timeout."""
+        self._stop.set()
+        self._worker.join(timeout=timeout)
+        self._drain_pending()
 
     @staticmethod
     def _percentile(sorted_vals: List[float], q: float) -> float:

@@ -87,6 +87,9 @@ class InferenceEngine:
         )
 
         n = len(paths)
+        if n == 0:  # HostPipeline yields no batches for an empty table
+            return (np.zeros((0, self.class_embed.shape[1]), np.float32),
+                    np.zeros((0,), bool))
         if n > self.max_batch:
             raise ValueError(f"{n} paths > max_batch {self.max_batch}")
         bucket = next(b for b in self.batch_buckets if n <= b)
@@ -111,6 +114,23 @@ class InferenceEngine:
         self.bucket_dispatches[bucket] += 1
         w = np.asarray(jax.device_get(batch["weight"]))
         return out[:n].astype(np.float32), w[:n] > 0
+
+    # ------------------------------------------------------------ warmup ----
+    def warmup(self):
+        """Compile the whole dispatch ladder up front.
+
+        Without this, each bucket XLA-compiles on its first live request —
+        a cold deployment's first saturated burst stalls every coalesced
+        request behind a full compile. Nonexistent paths ride the decode-
+        failure (weight-0 padding) convention, so each bucket shape runs
+        the real pack -> transform -> forward program with no assets.
+        Warmup dispatches are excluded from the stats counters."""
+        counters = (self.n_dispatches, self.device_seconds,
+                    dict(self.bucket_dispatches))
+        for b in self.batch_buckets:
+            self.embed_paths(["/nonexistent/__warmup__.npy"] * b)
+        self.n_dispatches, self.device_seconds = counters[0], counters[1]
+        self.bucket_dispatches = counters[2]
 
     # ----------------------------------------------------------- classify ---
     def classify(self, paths: Sequence[str]) -> List[dict]:

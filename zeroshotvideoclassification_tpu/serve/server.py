@@ -17,8 +17,12 @@ Trust model: /classify takes FILESYSTEM PATHS and decodes them with the
 serving process's privileges, so a client can probe file existence and read
 any video the process can. The default bind is loopback (127.0.0.1), where
 the client already has that access. When exposing beyond loopback
-(--host 0.0.0.0), set `data_root`: paths whose realpath falls outside it are
-rejected with 400 before touching the filesystem.
+(--host 0.0.0.0), set `data_root`: each request path is realpath-resolved at
+admission, rejected with 400 if the resolution falls outside the root, and
+the RESOLVED path (not the request string) is what gets decoded — so a
+symlink retargeted after the check cannot redirect the open. (Resolution
+itself stats the path; existence of out-of-root paths is still probeable,
+as it is for any checker short of openat-confinement.)
 
 Start:  python -m zeroshotvideoclassification_tpu.cli.serve \
             --weights run/checkpoint.npz --classes "a" "b" --port 8000
@@ -52,14 +56,18 @@ class ZeroShotService:
     def _process(self, paths):
         return self.engine.classify(paths)
 
-    def path_allowed(self, path: str) -> bool:
-        """data_root confinement (module docstring trust model); always True
-        when no root is configured."""
+    def admit(self, path: str) -> Optional[str]:
+        """data_root confinement (module docstring trust model): the
+        RESOLVED path if allowed, else None; the caller must decode the
+        resolved path, not the request string, so the checked path and the
+        opened path are the same (a symlink swapped after this check cannot
+        redirect the open). No root configured -> admit verbatim."""
         if self.data_root is None:
-            return True
+            return path
         real = os.path.realpath(path)
-        return real == self.data_root or real.startswith(
-            self.data_root + os.sep)
+        root = self.data_root
+        prefix = root if root.endswith(os.sep) else root + os.sep
+        return real if (real == root or real.startswith(prefix)) else None
 
     def classify(self, paths):
         futs = [self.batcher.submit(p) for p in paths]
@@ -116,13 +124,18 @@ def make_handler(service: ZeroShotService):
                                               "'video': path"})
                     return
                 paths = [str(p) for p in paths]
-                denied = [p for p in paths
-                          if not service.path_allowed(p)]
+                admitted = [service.admit(p) for p in paths]
+                denied = [p for p, a in zip(paths, admitted) if a is None]
                 if denied:
                     self._send(400, {"error": "path outside --data_root",
                                      "paths": denied})
                     return
-                results = service.classify(paths)
+                # decode the RESOLVED paths (check-and-use on one string);
+                # echo the request's own strings back in the results
+                results = service.classify(admitted)
+                for r, p in zip(results, paths):
+                    if isinstance(r, dict) and "video" in r:
+                        r["video"] = p
                 self._send(200, {"results": results} if "videos" in req
                            else results[0])
             except Exception as e:  # noqa: BLE001 — serving must not die
