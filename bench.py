@@ -26,6 +26,7 @@ attempts) instead of a bare traceback. --smoke runs inline (CPU, no flake).
 import argparse
 import functools
 import json
+import os
 import subprocess
 import sys
 import time
@@ -419,9 +420,14 @@ def supervise(args):
     init), no parseable JSON line, or a hang past --attempt_timeout. A fresh
     process per attempt is REQUIRED: jax caches a failed backend init for
     the process lifetime, so an in-process retry would re-raise forever."""
-    delays = [30 * (4 ** i) for i in range(max(args.attempts - 1, 0))]
+    # backoff base is env-overridable so tests can exercise the retry path
+    # without the real relay-outage pacing (30/120/480 s)
+    base = float(os.environ.get("ZSVC_BENCH_BACKOFF_S", "30"))
+    delays = [base * (4 ** i) for i in range(max(args.attempts - 1, 0))]
     last_err = "no attempts ran"
+    attempts_used = 0
     for attempt in range(1, args.attempts + 1):
+        attempts_used = attempt
         cmd = [sys.executable, __file__] + sys.argv[1:] + ["--_worker"]
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
@@ -458,7 +464,7 @@ def supervise(args):
         "unit": "clips/s/chip",
         "vs_baseline": None,
         "error": last_err[:2000],
-        "attempts": args.attempts,
+        "attempts": attempts_used,
     }))
     sys.exit(1)
 
