@@ -209,8 +209,24 @@ def test_bucketed_dispatch_shapes(serving):
     engine.classify([serving["paths"][0]])
     assert engine.bucket_dispatches == {8: 1, 16: 0}
     assert engine.stats()["batch_buckets"] == {"8": 1, "16": 0}
-    # the module fixture's max_batch=4 collapses the ladder to [4]
-    assert serving["engine"].batch_buckets == [4]
+    # the module fixture's max_batch=4 collapses the ladder to one bucket,
+    # rounded up to tile the data mesh axis (8 virtual devices under tests)
+    fixture_engine = serving["engine"]
+    ns = fixture_engine.n_shards
+    assert fixture_engine.batch_buckets == [-(-4 // ns) * ns]
+
+
+def test_engine_spmd_over_local_devices(serving):
+    """The engine serves SPMD: a 'data' mesh over every local device (8
+    virtual CPU devices under tests), bucket shapes tiling the axis. The
+    engine==CLI parity test doubles as the numerical check that the sharded
+    forward matches the unsharded one."""
+    import jax
+
+    engine = serving["engine"]
+    assert engine.n_shards == len(jax.devices())
+    assert engine.stats()["data_shards"] == engine.n_shards
+    assert all(b % engine.n_shards == 0 for b in engine.batch_buckets)
 
 
 def test_engine_empty_request(serving):

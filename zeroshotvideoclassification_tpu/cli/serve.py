@@ -79,7 +79,8 @@ def main(argv=None):
         engine.warmup()
     print(f"serving {args.network} ({len(class_names)} classes) on "
           f"http://{args.host}:{args.port}  (max_batch={args.max_batch}, "
-          f"window={args.max_wait_ms}ms)", file=sys.stderr)
+          f"window={args.max_wait_ms}ms, data_shards={engine.n_shards})",
+          file=sys.stderr)
     serve_forever(engine, args.host, args.port,
                   max_wait_s=args.max_wait_ms / 1e3,
                   data_root=args.data_root)

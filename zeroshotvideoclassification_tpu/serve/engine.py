@@ -7,9 +7,12 @@ padded — the training pipeline's broken-sample convention): each dispatch
 pads to the smallest bucket that fits, so a lone request costs a bs-8
 forward (~16x fewer FLOPs than padding straight to the bs-128 amortization
 knee) while saturated micro-batches still ride the knee shape. jit compiles
-each bucket once on first use (persistent XLA cache across restarts).
-Decode runs in the caller's threads (GIL-free native JPEG/libav decoders);
-the engine itself only packs, dispatches, and ranks.
+each bucket once on first use (persistent XLA cache across restarts; see
+warmup()). Dispatches are SPMD over every local device — batches shard on a
+'data' mesh axis, params replicate, bucket shapes tile the axis — so one
+serving process drives a whole TPU slice the same way the driver's eval
+path does. Decode runs in the caller's threads (GIL-free native JPEG/libav
+decoders); the engine itself only packs, dispatches, and ranks.
 
 The reference has no serving story at all — its user journey ends at
 dataset-level evaluation (/root/reference/main.py:224-325); cli/infer.py
@@ -45,26 +48,43 @@ class InferenceEngine:
         # forward runs 916 -> 1653 clips/s/chip from bs16 to bs128 on v5e
         # (ROADMAP "serving batch curve under the 64 MiB flag"); below the
         # knee each dispatch pays un-amortized per-step overhead.
+        import jax
+
         from zeroshotvideoclassification_tpu.cli.infer import (
             build_scoring_state,
         )
         from zeroshotvideoclassification_tpu.config import Config
+        from zeroshotvideoclassification_tpu.parallel import (
+            make_mesh,
+            replicated,
+        )
 
         self.class_names = list(class_names)
         self.class_embed = np.asarray(class_embed, np.float32)
         self.top_k = min(top_k, len(self.class_names))
         self.max_batch = max_batch
+        # SPMD over every local device, exactly like the driver's eval path:
+        # batches shard on 'data', params replicate, XLA partitions the
+        # forward. A 1-chip mesh degenerates to the single-device program.
+        self.mesh = make_mesh((-1,), ("data",))
+        self.n_shards = self.mesh.shape["data"]
+
+        def _fit(b):  # bucket shapes must tile the data axis
+            return -(-b // self.n_shards) * self.n_shards
+
         # dispatch-shape ladder: smallest bucket >= n wins. Covers the
         # latency/throughput corner pair — single-clip requests avoid the
         # knee shape's padding FLOPs, saturated batches still amortize.
-        self.batch_buckets = ([b for b in (8, 16, 32, 64) if b < max_batch]
-                              + [max_batch])
+        self.batch_buckets = sorted(
+            {_fit(b) for b in (8, 16, 32, 64) if b < max_batch}
+            | {_fit(max_batch)})
         self.bucket_dispatches = {b: 0 for b in self.batch_buckets}
         self.config = Config(network=network, head=head, bs=max_batch,
                              clip_len=clip_len, size=size, n_clips=n_clips,
                              compute_dtype=compute_dtype)
         self.model, self.state, self.eval_step = build_scoring_state(
             network, head, weights, self.config)
+        self.state = jax.device_put(self.state, replicated(self.mesh))
         self.n_dispatches = 0
         self.device_seconds = 0.0
 
@@ -82,7 +102,7 @@ class InferenceEngine:
         from zeroshotvideoclassification_tpu.data.datasets import VideoTable
         from zeroshotvideoclassification_tpu.data.pipeline import (
             HostPipeline,
-            device_batch,
+            device_batch_global,
             transform_out_dtype,
         )
 
@@ -103,8 +123,9 @@ class InferenceEngine:
         # a single batch has nothing to overlap)
         cfg = self.config.replace(prefetch_depth=0)
         hb = next(iter(HostPipeline(table, cfg, bucket, seed=0)))
-        batch = device_batch(hb, table.n_clips, self.config.clip_len,
-                             out_dtype=transform_out_dtype(self.config))
+        batch = device_batch_global(
+            self.mesh, hb, table.n_clips, self.config.clip_len,
+            out_dtype=transform_out_dtype(self.config))
         t0 = time.perf_counter()
         out = self.eval_step(self.state.params, self.state.model_state,
                              batch["x"])
@@ -166,6 +187,7 @@ class InferenceEngine:
             "dispatches": self.n_dispatches,
             "device_seconds": round(self.device_seconds, 3),
             "max_batch": self.max_batch,
+            "data_shards": self.n_shards,
             "batch_buckets": {str(b): c
                               for b, c in self.bucket_dispatches.items()},
             "classes": len(self.class_names),
