@@ -256,6 +256,11 @@ def test_engine_warmup_compiles_ladder_without_counting(serving):
     # post-warmup requests still work and count normally
     engine.classify([serving["paths"][0]])
     assert engine.bucket_dispatches == {8: 1, 16: 0}
+    # warmup survives a ladder whose smallest bucket exceeds max_batch
+    # (rounded up to tile the mesh): the fixture engine has max_batch=4
+    before = dict(serving["engine"].bucket_dispatches)
+    serving["engine"].warmup()
+    assert serving["engine"].bucket_dispatches == before
 
 
 def test_batcher_submit_shutdown_race_fails_future():

@@ -149,7 +149,10 @@ class InferenceEngine:
         counters = (self.n_dispatches, self.device_seconds,
                     dict(self.bucket_dispatches))
         for b in self.batch_buckets:
-            self.embed_paths(["/nonexistent/__warmup__.npy"] * b)
+            # a bucket can exceed max_batch (the ladder rounds up to tile
+            # the mesh); cap the fill — smallest-fit still selects bucket b
+            self.embed_paths(["/nonexistent/__warmup__.npy"]
+                             * min(b, self.max_batch))
         self.n_dispatches, self.device_seconds = counters[0], counters[1]
         self.bucket_dispatches = counters[2]
 
