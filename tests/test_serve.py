@@ -91,6 +91,56 @@ def test_microbatcher_shutdown_fails_pending_futures():
     assert f0.result(timeout=10) == 1
 
 
+def test_microbatcher_two_stage_pipeline_overlaps():
+    """With stage2 set, stage 1 of batch N+1 runs while stage 2 still holds
+    batch N — the host decodes ahead of the device."""
+    stage1_started = []
+    s2_gate = threading.Event()
+
+    def pack(items):
+        stage1_started.append((list(items), time.monotonic()))
+        return list(items)
+
+    def dispatch(mid):
+        if not s2_gate.is_set():
+            s2_gate.wait(timeout=10)
+        return [x * 10 for x in mid]
+
+    b = MicroBatcher(pack, max_batch=1, max_wait_s=0.001, stage2=dispatch)
+    try:
+        f1 = b.submit(1)  # stage 2 blocks on the gate holding this batch
+        time.sleep(0.2)
+        f2 = b.submit(2)  # stage 1 must run NOW, before f1 resolves
+        deadline = time.monotonic() + 5
+        while len(stage1_started) < 2 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert len(stage1_started) == 2, "stage 1 did not run ahead"
+        assert not f1.done()  # device stage still gated
+        s2_gate.set()
+        assert f1.result(timeout=10) == 10
+        assert f2.result(timeout=10) == 20
+    finally:
+        b.shutdown()
+
+
+def test_microbatcher_stage2_error_fails_only_its_batch():
+    def dispatch(mid):
+        if mid == [13]:
+            raise ValueError("unlucky")
+        return [x * 10 for x in mid]
+
+    b = MicroBatcher(lambda items: list(items), max_batch=1,
+                     max_wait_s=0.001, stage2=dispatch)
+    try:
+        bad = b.submit(13)
+        good = b.submit(2)
+        with pytest.raises(ValueError, match="unlucky"):
+            bad.result(timeout=10)
+        assert good.result(timeout=10) == 20
+    finally:
+        b.shutdown()
+
+
 def test_microbatcher_stats_latency_percentiles():
     b = MicroBatcher(lambda items: list(items), max_batch=4,
                      max_wait_s=0.001)

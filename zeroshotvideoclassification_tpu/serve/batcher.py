@@ -10,9 +10,14 @@ drains the queue into batches of at most `max_batch`, waiting at most
 `max_wait_s` after the first item of a batch arrives (classic
 max-batch/max-delay policy), and hands each batch to `process_batch`.
 
-Device dispatch stays single-threaded by construction (one worker), which
-both matches XLA's dispatch model and keeps compiled-shape reuse trivial:
-`process_batch` pads to its static shape internally.
+Two-stage pipelining: with `stage2` set, `process_batch` becomes the HOST
+stage (decode + pack — GIL-free in the native decoders) and `stage2` the
+DEVICE stage (dispatch + fetch + rank). A second worker drains a bounded
+hand-off queue, so the host decodes batch N+1 while the device runs batch
+N — under saturation the slower of the two stages sets throughput instead
+of their sum. Device dispatch stays single-threaded by construction (one
+stage-2 worker), which both matches XLA's dispatch model and keeps
+compiled-shape reuse trivial: the stages pad to static shapes internally.
 """
 
 from __future__ import annotations
@@ -22,7 +27,7 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
-from typing import Callable, Deque, List, Sequence
+from typing import Callable, Deque, List, Optional, Sequence
 
 
 class MicroBatcher:
@@ -31,12 +36,19 @@ class MicroBatcher:
         process_batch: Callable[[Sequence], List],
         max_batch: int = 16,
         max_wait_s: float = 0.01,
+        stage2: Optional[Callable] = None,
+        pipeline_depth: int = 2,
     ):
         """`process_batch(items) -> results` (same length/order) runs on the
-        worker thread; exceptions there fail every future of that batch."""
+        worker thread; exceptions there fail every future of that batch.
+        With `stage2`, `process_batch(items) -> mid` feeds
+        `stage2(mid) -> results` on a second worker (see module docstring);
+        `pipeline_depth` bounds how many packed batches may wait between the
+        stages (backpressure caps host-side lookahead memory)."""
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self.process_batch = process_batch
+        self.stage2 = stage2
         self.max_batch = max_batch
         self.max_wait_s = max_wait_s
         self._q: "queue.Queue" = queue.Queue()
@@ -46,8 +58,13 @@ class MicroBatcher:
         # bounded: an always-on server would otherwise leak one int per batch
         self.batch_sizes: Deque[int] = collections.deque(maxlen=1000)
         self.batch_latency_s: Deque[float] = collections.deque(maxlen=1000)
-        self._worker = threading.Thread(target=self._run, daemon=True)
-        self._worker.start()
+        self._workers = [threading.Thread(target=self._run, daemon=True)]
+        if stage2 is not None:
+            self._s2_q: "queue.Queue" = queue.Queue(maxsize=pipeline_depth)
+            self._workers.append(
+                threading.Thread(target=self._run_stage2, daemon=True))
+        for w in self._workers:
+            w.start()
 
     def submit(self, item) -> Future:
         if self._stop.is_set():
@@ -90,6 +107,15 @@ class MicroBatcher:
                 break
         return batch
 
+    def _finish(self, futures, submitted, results):
+        if len(results) != len(futures):
+            raise RuntimeError(f"got {len(results)} results for "
+                               f"{len(futures)} items")
+        done = time.monotonic()
+        for f, r, t in zip(futures, results, submitted):
+            self.batch_latency_s.append(done - t)
+            f.set_result(r)
+
     def _run(self):
         while not self._stop.is_set():
             batch = self._collect()
@@ -102,23 +128,46 @@ class MicroBatcher:
             self.n_batches += 1
             self.batch_sizes.append(len(batch))
             try:
-                results = self.process_batch(items)
-                if len(results) != len(items):
-                    raise RuntimeError(
-                        f"process_batch returned {len(results)} results "
-                        f"for {len(items)} items")
+                r1 = self.process_batch(items)
+                if self.stage2 is None:
+                    self._finish(futures, submitted, r1)
+                    continue
             except BaseException as e:
                 for f in futures:
                     if not f.done():
                         f.set_exception(e)
                 continue
-            done = time.monotonic()
-            for f, r, t in zip(futures, results, submitted):
-                self.batch_latency_s.append(done - t)
-                f.set_result(r)
+            # hand off to the device stage; a full queue is backpressure
+            # (bounded host lookahead), re-checked against shutdown
+            while True:
+                try:
+                    self._s2_q.put((r1, futures, submitted), timeout=0.5)
+                    break
+                except queue.Full:
+                    if self._stop.is_set():
+                        for f in futures:
+                            if not f.done():
+                                f.set_exception(
+                                    RuntimeError("batcher shut down"))
+                        break
+
+    def _run_stage2(self):
+        while True:
+            try:
+                mid, futures, submitted = self._s2_q.get(timeout=0.1)
+            except queue.Empty:
+                if self._stop.is_set():
+                    return
+                continue
+            try:
+                self._finish(futures, submitted, self.stage2(mid))
+            except BaseException as e:
+                for f in futures:
+                    if not f.done():
+                        f.set_exception(e)
 
     def _drain_pending(self):
-        """Fail every future still sitting in the queue (post-stop only)."""
+        """Fail every future still sitting in the queues (post-stop only)."""
         while True:
             try:
                 _, fut, _ = self._q.get_nowait()
@@ -126,13 +175,23 @@ class MicroBatcher:
                 break
             if not fut.done():
                 fut.set_exception(RuntimeError("batcher shut down"))
+        if self.stage2 is not None:
+            while True:
+                try:
+                    _, futures, _ = self._s2_q.get_nowait()
+                except queue.Empty:
+                    break
+                for fut in futures:
+                    if not fut.done():
+                        fut.set_exception(RuntimeError("batcher shut down"))
 
     def shutdown(self, timeout: float = 5.0):
-        """Stop the worker and fail any still-pending futures: items queued
+        """Stop the workers and fail any still-pending futures: items queued
         but never collected would otherwise block their request threads for
         the caller's full result timeout."""
         self._stop.set()
-        self._worker.join(timeout=timeout)
+        for w in self._workers:
+            w.join(timeout=timeout)
         self._drain_pending()
 
     @staticmethod

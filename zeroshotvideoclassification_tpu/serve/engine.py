@@ -89,27 +89,21 @@ class InferenceEngine:
         self.device_seconds = 0.0
 
     # ------------------------------------------------------------- embed ----
-    def embed_paths(self, paths: Sequence[str]):
-        """paths (<= max_batch, loader kinds freely mixed) ->
-        (emb [n, 300], ok [n]).
+    def pack_paths(self, paths: Sequence[str]):
+        """HOST half: decode + pack ONE padded host batch (no device work).
 
-        One table with the per-path 'auto' decoder -> ONE padded dispatch
-        at the smallest ladder shape that fits, regardless of how many
-        loader kinds the request mixes (a frame-dir + .mp4 + .npy request
-        used to cost three max_batch-padded forwards)."""
-        import jax
-
+        One table with the per-path 'auto' decoder -> ONE padded batch at
+        the smallest ladder shape that fits, regardless of how many loader
+        kinds the request mixes (a frame-dir + .mp4 + .npy request used to
+        cost three max_batch-padded forwards). Runs on the batcher's
+        stage-1 worker so the next batch decodes while the device runs
+        this one (serve/batcher.py pipelining)."""
         from zeroshotvideoclassification_tpu.data.datasets import VideoTable
-        from zeroshotvideoclassification_tpu.data.pipeline import (
-            HostPipeline,
-            device_batch_global,
-            transform_out_dtype,
-        )
+        from zeroshotvideoclassification_tpu.data.pipeline import HostPipeline
 
         n = len(paths)
         if n == 0:  # HostPipeline yields no batches for an empty table
-            return (np.zeros((0, self.class_embed.shape[1]), np.float32),
-                    np.zeros((0,), bool))
+            return {"paths": [], "n": 0, "bucket": None, "hb": None}
         if n > self.max_batch:
             raise ValueError(f"{n} paths > max_batch {self.max_batch}")
         bucket = next(b for b in self.batch_buckets if n <= b)
@@ -123,18 +117,38 @@ class InferenceEngine:
         # a single batch has nothing to overlap)
         cfg = self.config.replace(prefetch_depth=0)
         hb = next(iter(HostPipeline(table, cfg, bucket, seed=0)))
+        return {"paths": list(paths), "n": n, "bucket": bucket, "hb": hb}
+
+    def dispatch_packed(self, packed):
+        """DEVICE half: sharded transform + forward -> (emb [n,300], ok [n])."""
+        import jax
+
+        from zeroshotvideoclassification_tpu.data.pipeline import (
+            device_batch_global,
+            transform_out_dtype,
+        )
+
+        n = packed["n"]
+        if n == 0:
+            return (np.zeros((0, self.class_embed.shape[1]), np.float32),
+                    np.zeros((0,), bool))
         batch = device_batch_global(
-            self.mesh, hb, table.n_clips, self.config.clip_len,
-            out_dtype=transform_out_dtype(self.config))
+            self.mesh, packed["hb"], self.config.n_clips,
+            self.config.clip_len, out_dtype=transform_out_dtype(self.config))
         t0 = time.perf_counter()
         out = self.eval_step(self.state.params, self.state.model_state,
                              batch["x"])
         out = np.asarray(jax.device_get(out))
         self.device_seconds += time.perf_counter() - t0
         self.n_dispatches += 1
-        self.bucket_dispatches[bucket] += 1
+        self.bucket_dispatches[packed["bucket"]] += 1
         w = np.asarray(jax.device_get(batch["weight"]))
         return out[:n].astype(np.float32), w[:n] > 0
+
+    def embed_paths(self, paths: Sequence[str]):
+        """paths (<= max_batch, loader kinds freely mixed) ->
+        (emb [n, 300], ok [n]); pack_paths + dispatch_packed in one call."""
+        return self.dispatch_packed(self.pack_paths(paths))
 
     # ------------------------------------------------------------ warmup ----
     def warmup(self):
@@ -157,15 +171,24 @@ class InferenceEngine:
         self.bucket_dispatches = counters[2]
 
     # ----------------------------------------------------------- classify ---
+    def classify_packed(self, packed) -> List[dict]:
+        """DEVICE half of classify (stage 2 in the pipelined batcher)."""
+        emb, ok = self.dispatch_packed(packed)
+        return self._rank(packed["paths"], emb, ok)
+
     def classify(self, paths: Sequence[str]) -> List[dict]:
         """-> one result dict per path (cli/infer.py response schema)."""
-        from zeroshotvideoclassification_tpu.ops.cdist import (
-            cosine_distances,
-        )
+        emb, ok = self.embed_paths(paths)
+        return self._rank(paths, emb, ok)
+
+    def _rank(self, paths, emb, ok) -> List[dict]:
         import jax
         import jax.numpy as jnp
 
-        emb, ok = self.embed_paths(paths)
+        from zeroshotvideoclassification_tpu.ops.cdist import (
+            cosine_distances,
+        )
+
         dist = np.asarray(jax.device_get(cosine_distances(
             jnp.asarray(emb), jnp.asarray(self.class_embed))))
         rank = np.argsort(dist, axis=1)

@@ -46,15 +46,15 @@ class ZeroShotService:
     def __init__(self, engine: InferenceEngine, max_wait_s: float = 0.01,
                  data_root: Optional[str] = None):
         self.engine = engine
+        # two-stage pipeline: host decode+pack (stage 1) overlaps device
+        # dispatch+rank (stage 2) across consecutive micro-batches
         self.batcher = MicroBatcher(
-            self._process, max_batch=engine.max_batch, max_wait_s=max_wait_s)
+            self.engine.pack_paths, max_batch=engine.max_batch,
+            max_wait_s=max_wait_s, stage2=self.engine.classify_packed)
         self._lock = threading.Lock()
         self.n_http = 0
         self.data_root = (os.path.realpath(data_root)
                           if data_root is not None else None)
-
-    def _process(self, paths):
-        return self.engine.classify(paths)
 
     def admit(self, path: str) -> Optional[str]:
         """data_root confinement (module docstring trust model): the
