@@ -44,8 +44,12 @@ def run_one(bs, clip_len, extra, steps, timeout):
            "--bs", str(bs), "--clip_len", str(clip_len),
            "--steps", str(steps)] + extra
     try:
+        # zero the supervisor's retry backoff: the sweep's outer timeout is
+        # the only budget, and a dead 30 s sleep can push two attempts past
+        # it, losing the structured diagnostic line
+        env = dict(os.environ, ZSVC_BENCH_BACKOFF_S="0")
         proc = subprocess.run(cmd, capture_output=True, text=True,
-                              timeout=timeout, cwd=ROOT)
+                              timeout=timeout, cwd=ROOT, env=env)
     except subprocess.TimeoutExpired:
         return {"error": f"timeout {timeout}s"}
     line = next((ln for ln in reversed(proc.stdout.splitlines())

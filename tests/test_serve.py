@@ -141,6 +141,34 @@ def test_microbatcher_stage2_error_fails_only_its_batch():
         b.shutdown()
 
 
+def test_microbatcher_shutdown_during_long_pack_resolves_future():
+    """A pack (stage 1) that outlives shutdown's join timeout must not leave
+    its futures hanging: the post-put stop re-check drains them (liveness
+    contract — the future resolves either way, never blocks to the caller's
+    600 s timeout)."""
+    release = threading.Event()
+
+    def pack(items):
+        release.wait(timeout=10)
+        return list(items)
+
+    b = MicroBatcher(pack, max_batch=1, max_wait_s=0.001,
+                     stage2=lambda mid: [x * 10 for x in mid])
+    f = b.submit(1)
+    time.sleep(0.2)  # stage 1 is inside pack
+    t = threading.Thread(target=lambda: b.shutdown(timeout=0.2))
+    t.start()
+    time.sleep(0.4)  # shutdown's drain ran while pack was still going
+    release.set()
+    t.join(timeout=5)
+    try:
+        r = f.result(timeout=5)  # the contract: resolves, never hangs
+    except RuntimeError as e:
+        assert "shut down" in str(e)
+    else:
+        assert r == 10  # stage 2 happened to still be alive — also fine
+
+
 def test_microbatcher_stats_latency_percentiles():
     b = MicroBatcher(lambda items: list(items), max_batch=4,
                      max_wait_s=0.001)
@@ -376,6 +404,42 @@ def test_data_root_confinement(serving):
     finally:
         server.shutdown()
         service.close()
+
+
+def test_pipeline_depth_zero_single_stage(serving):
+    """--pipeline_depth 0 serves single-stage (lowest host memory): the
+    HTTP path still classifies correctly."""
+    from zeroshotvideoclassification_tpu.serve import start_server
+
+    server, service = start_server(serving["engine"], port=0,
+                                   max_wait_s=0.01, pipeline_depth=0)
+    try:
+        assert service.batcher.stage2 is None
+        port = server.server_address[1]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/classify",
+            data=json.dumps({"video": serving["paths"][0]}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert out["top_class"] in serving["classes"]
+    finally:
+        server.shutdown()
+        service.close()
+
+
+def test_symlinked_npy_resolves_to_extensionless_blob(tmp_path):
+    """detect_loader sniffs npy magic bytes: a resolved path that lost its
+    .npy extension (serving decodes realpaths) still takes the npy loader."""
+    import numpy as _np
+
+    from zeroshotvideoclassification_tpu.data.decode import detect_loader
+
+    blob = tmp_path / "ab12"  # extensionless
+    _np.save(blob.with_suffix(".npy"), _np.zeros((4, 8, 8, 3), _np.uint8))
+    (blob.with_suffix(".npy")).rename(blob)
+    assert detect_loader(str(blob)) == "npy"
+    assert detect_loader("/nonexistent/x") == "video"
 
 
 def test_data_root_filesystem_root_allows_everything(serving):

@@ -46,6 +46,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "binding the port (first requests never stall "
                         "behind an XLA compile; the persistent cache makes "
                         "restarts cheap). --no-warmup binds immediately")
+    p.add_argument("--pipeline_depth", type=int, default=2,
+                   help="packed batches allowed between the host decode "
+                        "stage and the device dispatch stage (each holds "
+                        "its canvases in host RAM; 0 disables pipelining "
+                        "for the lowest memory footprint)")
     p.add_argument("--data_root", default=None,
                    help="if set, reject /classify paths that resolve "
                         "outside this directory (recommended with a "
@@ -83,7 +88,8 @@ def main(argv=None):
           file=sys.stderr)
     serve_forever(engine, args.host, args.port,
                   max_wait_s=args.max_wait_ms / 1e3,
-                  data_root=args.data_root)
+                  data_root=args.data_root,
+                  pipeline_depth=args.pipeline_depth)
 
 
 if __name__ == "__main__":

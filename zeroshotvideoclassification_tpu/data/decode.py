@@ -198,11 +198,22 @@ def decode_npy(
 
 
 def detect_loader(path: str) -> str:
-    """frame_dir | npy | video, by filesystem shape."""
+    """frame_dir | npy | video, by filesystem shape then content.
+
+    The magic-byte sniff keeps detection correct for paths whose name lost
+    its extension — e.g. the serving trust model decodes the REALPATH of a
+    request (serve/server.py admit()), and an in-root `clip.npy` symlink may
+    resolve to an extensionless blob-store file."""
     if os.path.isdir(path):
         return "frame_dir"
     if path.endswith(".npy"):
         return "npy"
+    try:
+        with open(path, "rb") as f:
+            if f.read(6) == b"\x93NUMPY":
+                return "npy"
+    except OSError:
+        pass
     return "video"
 
 

@@ -142,6 +142,12 @@ class MicroBatcher:
             while True:
                 try:
                     self._s2_q.put((r1, futures, submitted), timeout=0.5)
+                    # shutdown may have finished its drain while this stage
+                    # was packing (a long decode outlives the join timeout):
+                    # with stage 2 already gone, nothing would ever collect
+                    # the batch — re-check and drain, same as submit()
+                    if self._stop.is_set():
+                        self._drain_pending()
                     break
                 except queue.Full:
                     if self._stop.is_set():

@@ -11,8 +11,10 @@ each bucket once on first use (persistent XLA cache across restarts; see
 warmup()). Dispatches are SPMD over every local device — batches shard on a
 'data' mesh axis, params replicate, bucket shapes tile the axis — so one
 serving process drives a whole TPU slice the same way the driver's eval
-path does. Decode runs in the caller's threads (GIL-free native JPEG/libav
-decoders); the engine itself only packs, dispatches, and ranks.
+path does. The host/device halves are split (pack_paths vs
+dispatch_packed/classify_packed) so the batcher's two-stage pipeline can
+decode the next batch (GIL-free native JPEG/libav decoders) while the
+device runs the current one.
 
 The reference has no serving story at all — its user journey ends at
 dataset-level evaluation (/root/reference/main.py:224-325); cli/infer.py

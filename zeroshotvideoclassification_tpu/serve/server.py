@@ -1,11 +1,13 @@
 """HTTP serving front-end: checkpoint -> always-on zero-shot classifier.
 
 Production shape of cli/infer.py: a threading HTTP server (stdlib only — no
-extra deps in the image) whose request threads decode videos GIL-free and
-block on the MicroBatcher; a single worker thread coalesces concurrent
-requests into one device dispatch (the serving forward amortizes ~1.5x from
-bs16 to bs128 and is compute-walled at large batch, see
-PERF_ROOFLINE_EVAL.json / ROADMAP "serving batch scaling").
+extra deps in the image) whose request threads block on the MicroBatcher;
+the batcher's stage-1 worker coalesces concurrent requests and decodes them
+(GIL-free native decoders) while its stage-2 worker runs the device
+dispatch for the PREVIOUS batch (two-stage pipeline, serve/batcher.py) —
+the serving forward amortizes ~1.5x from bs16 to bs128 and is
+compute-walled at large batch, see PERF_ROOFLINE_EVAL.json / ROADMAP
+"serving batch scaling".
 
 Endpoints:
   POST /classify   {"videos": ["/path/a.mp4", ...]}           -> results[]
@@ -44,13 +46,22 @@ class ZeroShotService:
     """Engine + batcher + counters; the handler delegates here."""
 
     def __init__(self, engine: InferenceEngine, max_wait_s: float = 0.01,
-                 data_root: Optional[str] = None):
+                 data_root: Optional[str] = None, pipeline_depth: int = 2):
         self.engine = engine
         # two-stage pipeline: host decode+pack (stage 1) overlaps device
-        # dispatch+rank (stage 2) across consecutive micro-batches
-        self.batcher = MicroBatcher(
-            self.engine.pack_paths, max_batch=engine.max_batch,
-            max_wait_s=max_wait_s, stage2=self.engine.classify_packed)
+        # dispatch+rank (stage 2) across consecutive micro-batches. Each
+        # in-flight packed batch holds its host canvases, so peak host
+        # memory scales with pipeline_depth + 2; pipeline_depth=0 disables
+        # the pipeline (single-stage, lowest memory).
+        if pipeline_depth > 0:
+            self.batcher = MicroBatcher(
+                self.engine.pack_paths, max_batch=engine.max_batch,
+                max_wait_s=max_wait_s, stage2=self.engine.classify_packed,
+                pipeline_depth=pipeline_depth)
+        else:
+            self.batcher = MicroBatcher(
+                self.engine.classify, max_batch=engine.max_batch,
+                max_wait_s=max_wait_s)
         self._lock = threading.Lock()
         self.n_http = 0
         self.data_root = (os.path.realpath(data_root)
@@ -147,11 +158,13 @@ def make_handler(service: ZeroShotService):
 def serve_forever(engine: InferenceEngine, host: str = "127.0.0.1",
                   port: int = 8000, max_wait_s: float = 0.01,
                   ready_event: Optional[threading.Event] = None,
-                  data_root: Optional[str] = None):
+                  data_root: Optional[str] = None,
+                  pipeline_depth: int = 2):
     """Blocking server loop; returns the (server, service) pair via
     start_server for embedding/tests."""
     server, service = start_server(engine, host, port, max_wait_s,
-                                   data_root=data_root)
+                                   data_root=data_root,
+                                   pipeline_depth=pipeline_depth)
     if ready_event is not None:
         ready_event.set()
     try:
@@ -162,11 +175,13 @@ def serve_forever(engine: InferenceEngine, host: str = "127.0.0.1",
 
 def start_server(engine: InferenceEngine, host: str = "127.0.0.1",
                  port: int = 0, max_wait_s: float = 0.01,
-                 data_root: Optional[str] = None):
+                 data_root: Optional[str] = None,
+                 pipeline_depth: int = 2):
     """Non-blocking: bind (port 0 = ephemeral), run the accept loop on a
     daemon thread, return (server, service). Tests and notebooks use this."""
     service = ZeroShotService(engine, max_wait_s=max_wait_s,
-                              data_root=data_root)
+                              data_root=data_root,
+                              pipeline_depth=pipeline_depth)
     server = ThreadingHTTPServer((host, port), make_handler(service))
     th = threading.Thread(target=server.serve_forever, daemon=True)
     th.start()
