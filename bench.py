@@ -345,10 +345,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", nargs="?", const="full", default=False,
                    choices=["full", "convs"],
                    help="rematerialization A/B (train mode only)")
-    p.add_argument("--attempts", type=int, default=4,
+    p.add_argument("--attempts", type=int, default=3,
                    help="bounded retries across a flaky backend/relay; each "
                         "attempt is a fresh process (JAX caches a failed "
-                        "backend init for the process lifetime)")
+                        "backend init for the process lifetime). 3 caps the "
+                        "worst case (hung relay) at ~1h40 while surviving "
+                        "two transient flakes")
     p.add_argument("--attempt_timeout", type=float, default=1800.0,
                    help="seconds before a hung attempt is killed and retried")
     p.add_argument("--_worker", action="store_true", help=argparse.SUPPRESS)
