@@ -406,6 +406,68 @@ def test_data_root_confinement(serving):
         service.close()
 
 
+def test_reload_hot_swaps_weights(serving, tmp_path):
+    """POST /reload swaps the scoring state in place: same compiled ladder,
+    different params, measurably different embeddings."""
+    import jax
+
+    from zeroshotvideoclassification_tpu.serve import InferenceEngine
+    from zeroshotvideoclassification_tpu.train import (
+        create_train_state,
+        make_optimizer,
+    )
+    from zeroshotvideoclassification_tpu.models import get_network
+
+    engine = InferenceEngine(
+        serving["classes"], serving["class_embed"], network="r3d_18",
+        head="mlp", weights=None, n_clips=1, clip_len=2, size=32,
+        max_batch=8, compute_dtype="float32")
+    before, _ = engine.embed_paths([serving["paths"][0]])
+
+    # a differently-seeded checkpoint to reload
+    from zeroshotvideoclassification_tpu.train.checkpoint import (
+        save_checkpoint,
+    )
+
+    cfg = engine.config
+    model = get_network(cfg)
+    ts2 = create_train_state(model, make_optimizer(cfg.lr),
+                             jax.random.PRNGKey(7))
+    ckpt = str(tmp_path / "other.npz")
+    save_checkpoint(ckpt, ts2, epoch=1, accuracy=1.0)
+
+    out = engine.reload(ckpt)
+    assert out == {"reloaded": ckpt}
+    assert engine.stats()["weights"] == ckpt
+    after, _ = engine.embed_paths([serving["paths"][0]])
+    assert not np.allclose(before, after)  # really the new params
+    # no new compile needed: the bucket shape was already built
+    assert engine.batch_buckets[0] in engine.bucket_dispatches
+
+
+def test_reload_endpoint_confined_by_data_root(serving):
+    """/reload honors the same --data_root admission as /classify."""
+    from zeroshotvideoclassification_tpu.serve import start_server
+
+    server, service = start_server(serving["engine"], port=0,
+                                   max_wait_s=0.01,
+                                   data_root=serving["tmp"])
+    try:
+        port = server.server_address[1]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/reload",
+            data=json.dumps({"weights": "/etc/passwd"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 400
+        assert json.loads(exc.value.read())["error"] == \
+            "path outside --data_root"
+    finally:
+        server.shutdown()
+        service.close()
+
+
 def test_pipeline_depth_zero_single_stage(serving):
     """--pipeline_depth 0 serves single-stage (lowest host memory): the
     HTTP path still classifies correctly."""

@@ -87,6 +87,7 @@ class InferenceEngine:
         self.model, self.state, self.eval_step = build_scoring_state(
             network, head, weights, self.config)
         self.state = jax.device_put(self.state, replicated(self.mesh))
+        self.weights_path = weights
         self.n_dispatches = 0
         self.device_seconds = 0.0
 
@@ -151,6 +152,27 @@ class InferenceEngine:
         """paths (<= max_batch, loader kinds freely mixed) ->
         (emb [n, 300], ok [n]); pack_paths + dispatch_packed in one call."""
         return self.dispatch_packed(self.pack_paths(paths))
+
+    # ------------------------------------------------------------ reload ----
+    def reload(self, weights: str) -> dict:
+        """Hot-swap the scoring state from a checkpoint without restarting.
+
+        The compiled ladder keys on shapes, not values, so the swap costs
+        one checkpoint load + device_put: no recompile, no downtime. The
+        attribute assignment is atomic under the GIL — an in-flight dispatch
+        finishes on the old params; the next one sees the new ones."""
+        import jax
+
+        from zeroshotvideoclassification_tpu.cli.infer import (
+            build_scoring_state,
+        )
+        from zeroshotvideoclassification_tpu.parallel import replicated
+
+        _, state, _ = build_scoring_state(
+            self.config.network, self.config.head, weights, self.config)
+        self.state = jax.device_put(state, replicated(self.mesh))
+        self.weights_path = weights
+        return {"reloaded": weights}
 
     # ------------------------------------------------------------ warmup ----
     def warmup(self):
@@ -219,4 +241,5 @@ class InferenceEngine:
             "batch_buckets": {str(b): c
                               for b, c in self.bucket_dispatches.items()},
             "classes": len(self.class_names),
+            "weights": self.weights_path,
         }

@@ -12,6 +12,11 @@ compute-walled at large batch, see PERF_ROOFLINE_EVAL.json / ROADMAP
 Endpoints:
   POST /classify   {"videos": ["/path/a.mp4", ...]}           -> results[]
                    (or {"video": "/path/a.mp4"} -> one result)
+  POST /reload     {"weights": "/path/checkpoint.npz"}        -> hot-swap the
+                   scoring state without restart or recompile (the compiled
+                   ladder keys on shapes; in-flight batches finish on the
+                   old params). Subject to the same --data_root admission
+                   as /classify.
   GET  /healthz    liveness + model identity
   GET  /stats      request/batch/dispatch counters + latency percentiles
 
@@ -121,6 +126,24 @@ def make_handler(service: ZeroShotService):
         def do_POST(self):
             with service._lock:
                 service.n_http += 1
+            if self.path == "/reload":
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    weights = req.get("weights")
+                    if not isinstance(weights, str):
+                        self._send(400, {"error": "need 'weights': path"})
+                        return
+                    admitted = service.admit(weights)
+                    if admitted is None:
+                        self._send(400, {"error": "path outside "
+                                                  "--data_root",
+                                         "paths": [weights]})
+                        return
+                    self._send(200, service.engine.reload(admitted))
+                except Exception as e:  # noqa: BLE001 — serving must not die
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
+                return
             if self.path != "/classify":
                 self._send(404, {"error": f"unknown path {self.path}"})
                 return
