@@ -437,12 +437,34 @@ def test_reload_hot_swaps_weights(serving, tmp_path):
     save_checkpoint(ckpt, ts2, epoch=1, accuracy=1.0)
 
     out = engine.reload(ckpt)
-    assert out == {"reloaded": ckpt}
+    assert out == {"reloaded": ckpt, "epoch": 1, "accuracy": 1.0}
     assert engine.stats()["weights"] == ckpt
     after, _ = engine.embed_paths([serving["paths"][0]])
     assert not np.allclose(before, after)  # really the new params
-    # no new compile needed: the bucket shape was already built
-    assert engine.batch_buckets[0] in engine.bucket_dispatches
+    # no new compile needed: both embed_paths hit the SAME already-built
+    # bucket shape (the ladder keys on shapes, not params)
+    assert engine.bucket_dispatches[engine.batch_buckets[0]] == 2
+
+    # strict-load contract: reload refuses anything that is not a full
+    # framework checkpoint — the live model must never go (part-)random
+    with pytest.raises(ValueError):
+        engine.reload("")  # would silently serve random-init otherwise
+    bogus = str(tmp_path / "bogus.npz")
+    np.savez(bogus, not_a_checkpoint=np.zeros(3))
+    with pytest.raises((KeyError, ValueError)):
+        engine.reload(bogus)
+    # a VALID checkpoint of a DIFFERENT network must be refused too
+    other_cfg = cfg.replace(network="mc3_18")
+    ts3 = create_train_state(get_network(other_cfg), make_optimizer(cfg.lr),
+                             jax.random.PRNGKey(3))
+    wrong = str(tmp_path / "wrong_net.npz")
+    save_checkpoint(wrong, ts3, epoch=1, accuracy=1.0)
+    with pytest.raises(ValueError):
+        engine.reload(wrong)
+    # every refusal left the live scoring state untouched
+    assert engine.stats()["weights"] == ckpt
+    again, _ = engine.embed_paths([serving["paths"][0]])
+    assert np.allclose(after, again)
 
 
 def test_reload_endpoint_confined_by_data_root(serving):
@@ -466,6 +488,83 @@ def test_reload_endpoint_confined_by_data_root(serving):
     finally:
         server.shutdown()
         service.close()
+
+
+def test_reload_swap_is_atomic_under_concurrent_classify(serving, tmp_path):
+    """Dispatches racing a reload always see ONE checkpoint's (params,
+    model_state) pair — every result must equal pre-swap or post-swap
+    scoring, never a mix (engine holds a single scoring tuple)."""
+    import concurrent.futures
+
+    import jax
+
+    from zeroshotvideoclassification_tpu.models import get_network
+    from zeroshotvideoclassification_tpu.serve import InferenceEngine
+    from zeroshotvideoclassification_tpu.train import (
+        create_train_state,
+        make_optimizer,
+    )
+    from zeroshotvideoclassification_tpu.train.checkpoint import (
+        save_checkpoint,
+    )
+
+    engine = InferenceEngine(
+        serving["classes"], serving["class_embed"], network="r3d_18",
+        head="mlp", weights=None, n_clips=1, clip_len=2, size=32,
+        max_batch=8, compute_dtype="float32")
+    path = serving["paths"][0]
+    before, _ = engine.embed_paths([path])
+
+    cfg = engine.config
+    ts2 = create_train_state(get_network(cfg), make_optimizer(cfg.lr),
+                             jax.random.PRNGKey(11))
+    ckpt = str(tmp_path / "swap.npz")
+    save_checkpoint(ckpt, ts2, epoch=2, accuracy=0.5)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+        classifies = [ex.submit(engine.embed_paths, [path])
+                      for _ in range(6)]
+        swap = ex.submit(engine.reload, ckpt)
+        embs = [f.result()[0] for f in classifies]
+        swap.result()
+    after, _ = engine.embed_paths([path])
+    assert not np.allclose(before, after)
+    for e in embs:  # old or new scoring, never a torn mixture
+        assert np.allclose(e, before, atol=1e-5) or \
+            np.allclose(e, after, atol=1e-5)
+
+
+def test_reload_endpoint_refuses_bad_weights(serving, tmp_path):
+    """/reload answers bad requests with JSON errors (never a dead
+    connection) and the serving state survives every refusal."""
+    port = serving["port"]
+
+    def post_reload(weights):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/reload",
+            data=json.dumps({"weights": weights}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        return exc.value.code, json.loads(exc.value.read())
+
+    code, body = post_reload("")  # would mean random-init — refused early
+    assert code == 400 and "checkpoint path" in body["error"]
+    code, body = post_reload("none")
+    assert code == 400
+
+    bogus = str(tmp_path / "not_a_ckpt.npz")
+    np.savez(bogus, junk=np.zeros(3))
+    code, body = post_reload(bogus)  # strict load raises -> 500 JSON
+    assert code == 500 and "error" in body
+
+    code, body = post_reload(str(tmp_path / "missing.npz"))
+    assert code == 500 and "FileNotFoundError" in body["error"]
+
+    # the handler thread survived all of it
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz") as r:
+        assert json.load(r)["status"] == "ok"
 
 
 def test_pipeline_depth_zero_single_stage(serving):

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import sys
 import time
 from typing import Dict, List
 
@@ -396,16 +397,27 @@ class Experiment:
                     # (main.py:159-163, commented there); rendered from the
                     # LOCAL host batch (global arrays may not be addressable
                     # on this process under multi-host)
-                    from zeroshotvideoclassification_tpu.utils.gif import batch2gif
+                    try:
+                        from zeroshotvideoclassification_tpu.utils.gif import (
+                            batch2gif,
+                        )
 
-                    local = device_batch(host, table.n_clips, cfg.clip_len)
-                    sdir = os.path.join(self.savename, "samples")
-                    os.makedirs(sdir, exist_ok=True)
-                    batch2gif(
-                        np.asarray(local["x"][0, 0]),
-                        int(host.label[0]),
-                        os.path.join(sdir, f"samples_train_epoch{epoch}_"),
-                        classes=table.classes if host.label[0] >= 0 else None)
+                        local = device_batch(host, table.n_clips,
+                                             cfg.clip_len)
+                        sdir = os.path.join(self.savename, "samples")
+                        os.makedirs(sdir, exist_ok=True)
+                        batch2gif(
+                            np.asarray(local["x"][0, 0]),
+                            int(host.label[0]),
+                            os.path.join(
+                                sdir, f"samples_train_epoch{epoch}_"),
+                            classes=(table.classes if host.label[0] >= 0
+                                     else None))
+                    except ImportError as e:
+                        # imageio is an optional extra; a missing debug
+                        # dump must not kill the training run
+                        print(f"WARNING: --save_samples skipped ({e}); "
+                              f"pip install imageio", file=sys.stderr)
                     sample_saved = True
                 sharded = device_batch_global(
                     self.mesh, host, table.n_clips, cfg.clip_len,

@@ -84,12 +84,22 @@ class InferenceEngine:
         self.config = Config(network=network, head=head, bs=max_batch,
                              clip_len=clip_len, size=size, n_clips=n_clips,
                              compute_dtype=compute_dtype)
-        self.model, self.state, self.eval_step = build_scoring_state(
+        self.model, state, self.eval_step = build_scoring_state(
             network, head, weights, self.config)
-        self.state = jax.device_put(self.state, replicated(self.mesh))
-        self.weights_path = weights
+        # Serving never touches the optimizer: keep ONLY (params,
+        # model_state) on device — a full TrainState would pin Adam's m/v
+        # moments (~2x the param bytes) per device for the server's life.
+        # ONE attribute holds (weights_path, params, model_state) so a
+        # concurrent reload() swap is atomic: a dispatch that read the
+        # tuple finishes wholly on the old checkpoint, never a mix.
+        self._scoring = (weights, *jax.device_put(
+            (state.params, state.model_state), replicated(self.mesh)))
         self.n_dispatches = 0
         self.device_seconds = 0.0
+
+    @property
+    def weights_path(self):
+        return self._scoring[0]
 
     # ------------------------------------------------------------- embed ----
     def pack_paths(self, paths: Sequence[str]):
@@ -138,9 +148,12 @@ class InferenceEngine:
         batch = device_batch_global(
             self.mesh, packed["hb"], self.config.n_clips,
             self.config.clip_len, out_dtype=transform_out_dtype(self.config))
+        # single read of the live-scoring tuple (see __init__/reload): the
+        # params and BN stats of one dispatch always come from the SAME
+        # checkpoint even if reload() swaps mid-flight
+        _, params, model_state = self._scoring
         t0 = time.perf_counter()
-        out = self.eval_step(self.state.params, self.state.model_state,
-                             batch["x"])
+        out = self.eval_step(params, model_state, batch["x"])
         out = np.asarray(jax.device_get(out))
         self.device_seconds += time.perf_counter() - t0
         self.n_dispatches += 1
@@ -157,22 +170,44 @@ class InferenceEngine:
     def reload(self, weights: str) -> dict:
         """Hot-swap the scoring state from a checkpoint without restarting.
 
+        STRICT full-framework-checkpoint loads only (every params +
+        model_state tensor present with matching shape, else ValueError):
+        a live hot-swap endpoint must never end up serving a partially or
+        fully random-init model, so the startup path's partial warm-start
+        fallback (build_scoring_state) is deliberately NOT offered here —
+        port foreign weights offline (tools/port_checkpoint.py), then
+        reload the resulting checkpoint.
+
         The compiled ladder keys on shapes, not values, so the swap costs
         one checkpoint load + device_put: no recompile, no downtime. The
-        attribute assignment is atomic under the GIL — an in-flight dispatch
-        finishes on the old params; the next one sees the new ones."""
+        single-tuple assignment is atomic under the GIL — an in-flight
+        dispatch finishes wholly on the old checkpoint; the next one sees
+        the new one (see dispatch_packed)."""
         import jax
 
-        from zeroshotvideoclassification_tpu.cli.infer import (
-            build_scoring_state,
-        )
         from zeroshotvideoclassification_tpu.parallel import replicated
+        from zeroshotvideoclassification_tpu.train import (
+            create_train_state,
+            load_checkpoint,
+            make_optimizer,
+        )
 
-        _, state, _ = build_scoring_state(
-            self.config.network, self.config.head, weights, self.config)
-        self.state = jax.device_put(state, replicated(self.mesh))
-        self.weights_path = weights
-        return {"reloaded": weights}
+        if not weights or weights == "none":
+            raise ValueError(
+                "reload needs a checkpoint path (refusing to swap the "
+                "serving model to random-init weights)")
+        # throwaway template for the strict load's structure; its opt_state
+        # and init params are discarded — only (params, model_state) ship
+        template = create_train_state(
+            self.model, make_optimizer(self.config.lr), jax.random.PRNGKey(0))
+        state, meta = load_checkpoint(
+            weights, template, strict_sections=("params", "model_state"))
+        scoring = jax.device_put((state.params, state.model_state),
+                                 replicated(self.mesh))
+        self._scoring = (weights, *scoring)
+        return {"reloaded": weights,
+                "epoch": meta.get("epoch"),
+                "accuracy": meta.get("accuracy")}
 
     # ------------------------------------------------------------ warmup ----
     def warmup(self):

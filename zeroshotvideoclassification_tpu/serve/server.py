@@ -15,8 +15,11 @@ Endpoints:
   POST /reload     {"weights": "/path/checkpoint.npz"}        -> hot-swap the
                    scoring state without restart or recompile (the compiled
                    ladder keys on shapes; in-flight batches finish on the
-                   old params). Subject to the same --data_root admission
-                   as /classify.
+                   old params). STRICT full framework checkpoints only —
+                   anything else (partial match, foreign layout, empty
+                   path) is refused so the live model can never silently
+                   become (part-)random-init. Subject to the same
+                   --data_root admission as /classify.
   GET  /healthz    liveness + model identity
   GET  /stats      request/batch/dispatch counters + latency percentiles
 
@@ -30,6 +33,14 @@ the RESOLVED path (not the request string) is what gets decoded — so a
 symlink retargeted after the check cannot redirect the open. (Resolution
 itself stats the path; existence of out-of-root paths is still probeable,
 as it is for any checker short of openat-confinement.)
+
+/reload goes further than read exposure: it MUTATES serving state, with no
+auth or rate limit (each call costs a checkpoint load + device_put — cheap,
+but not free). The same stance applies: loopback binds trust the local
+client; beyond loopback, set `data_root` so a remote client can only swap
+between checkpoints you placed under the root (the strict-load contract
+above means the worst admissible swap is a different VALID checkpoint of
+the same model) — and front anything internet-facing with real auth.
 
 Start:  python -m zeroshotvideoclassification_tpu.cli.serve \
             --weights run/checkpoint.npz --classes "a" "b" --port 8000
@@ -111,6 +122,10 @@ def make_handler(service: ZeroShotService):
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
+        def _read_json(self) -> dict:
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(max(0, n)) or b"{}")
+
         def do_GET(self):
             with service._lock:
                 service.n_http += 1
@@ -128,11 +143,12 @@ def make_handler(service: ZeroShotService):
                 service.n_http += 1
             if self.path == "/reload":
                 try:
-                    n = int(self.headers.get("Content-Length", 0))
-                    req = json.loads(self.rfile.read(n) or b"{}")
+                    req = self._read_json()
                     weights = req.get("weights")
-                    if not isinstance(weights, str):
-                        self._send(400, {"error": "need 'weights': path"})
+                    if (not isinstance(weights, str) or not weights
+                            or weights == "none"):
+                        self._send(400, {"error": "need 'weights': "
+                                                  "checkpoint path"})
                         return
                     admitted = service.admit(weights)
                     if admitted is None:
@@ -148,8 +164,7 @@ def make_handler(service: ZeroShotService):
                 self._send(404, {"error": f"unknown path {self.path}"})
                 return
             try:
-                n = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(n) or b"{}")
+                req = self._read_json()
                 paths = req.get("videos")
                 if paths is None and "video" in req:
                     paths = [req["video"]]
