@@ -490,6 +490,24 @@ def test_reload_endpoint_confined_by_data_root(serving):
         service.close()
 
 
+def test_rank_pads_to_ladder_shapes(serving):
+    """The ranking matmul must reuse the dispatch ladder's padded shapes:
+    requests of different sizes within one bucket may compile
+    cosine_distances at most once (a fresh deployment must not pay one
+    tiny XLA compile per distinct request size)."""
+    from zeroshotvideoclassification_tpu.ops.cdist import cosine_distances
+
+    engine = serving["engine"]
+    paths = serving["paths"]
+    engine.classify(paths[:1])  # warm the bucket's rank shape
+    before = cosine_distances._cache_size()
+    r2 = engine.classify(paths[:2])
+    r3 = engine.classify(paths[:3])
+    assert cosine_distances._cache_size() == before
+    assert len(r2) == 2 and len(r3) == 3
+    assert all("top_class" in r for r in r2 + r3)
+
+
 def test_reload_swap_is_atomic_under_concurrent_classify(serving, tmp_path):
     """Dispatches racing a reload always see ONE checkpoint's (params,
     model_state) pair — every result must equal pre-swap or post-swap

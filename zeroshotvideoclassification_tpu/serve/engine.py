@@ -223,9 +223,11 @@ class InferenceEngine:
                     dict(self.bucket_dispatches))
         for b in self.batch_buckets:
             # a bucket can exceed max_batch (the ladder rounds up to tile
-            # the mesh); cap the fill — smallest-fit still selects bucket b
-            self.embed_paths(["/nonexistent/__warmup__.npy"]
-                             * min(b, self.max_batch))
+            # the mesh); cap the fill — smallest-fit still selects bucket b.
+            # classify (not embed_paths) so the bucket-padded ranking matmul
+            # compiles here too, not on the first live request.
+            self.classify(["/nonexistent/__warmup__.npy"]
+                          * min(b, self.max_batch))
         self.n_dispatches, self.device_seconds = counters[0], counters[1]
         self.bucket_dispatches = counters[2]
 
@@ -248,8 +250,22 @@ class InferenceEngine:
             cosine_distances,
         )
 
+        n = emb.shape[0]
+        if n == 0:
+            return []
+        # pad the ranking matmul to the dispatch ladder too: cosine_distances
+        # is jitted, so an un-padded [n, D] input would compile once per
+        # DISTINCT request size (up to max_batch tiny programs, each paying
+        # the first-compile price on a fresh deployment). Rows are
+        # independent; the zero padding is sliced off before ranking.
+        pad_to = next((b for b in self.batch_buckets if n <= b),
+                      self.batch_buckets[-1])
+        emb_in = emb
+        if pad_to > n:
+            emb_in = np.zeros((pad_to, emb.shape[1]), emb.dtype)
+            emb_in[:n] = emb
         dist = np.asarray(jax.device_get(cosine_distances(
-            jnp.asarray(emb), jnp.asarray(self.class_embed))))
+            jnp.asarray(emb_in), jnp.asarray(self.class_embed))))[:n]
         rank = np.argsort(dist, axis=1)
         results = []
         for i, path in enumerate(paths):
