@@ -102,7 +102,14 @@ class HostPipeline:
         seed: int = 0,
         workers: Optional[int] = None,
         synthetic_source=None,
+        pool: Optional[cf.Executor] = None,
     ):
+        # `pool`: an external decode executor to reuse across pipelines.
+        # Iterating otherwise creates (and tears down) a fresh
+        # ThreadPoolExecutor per epoch — fine for training's long epochs,
+        # but a serving engine building one single-batch pipeline per
+        # request would pay ~cpu_count thread spawns per micro-batch
+        # (serve/engine.py passes its persistent pool).
         self.table = table
         self.config = config
         self.bs = batch_size
@@ -118,6 +125,7 @@ class HostPipeline:
         import os as _os
         self.workers = workers if workers is not None else (
             config.decode_workers or (_os.cpu_count() or 1))
+        self._pool = pool
         self._source = synthetic_source
         if table.loader == "synthetic" and self._source is None:
             from zeroshotvideoclassification_tpu.data.synthetic import (
@@ -291,7 +299,12 @@ class HostPipeline:
             return self._decode_one(
                 int(order[i]), np.random.default_rng(int(child_seeds[i])))
 
-        with cf.ThreadPoolExecutor(max_workers=self.workers) as pool:
+        import contextlib
+
+        pool_cm = (contextlib.nullcontext(self._pool)
+                   if self._pool is not None
+                   else cf.ThreadPoolExecutor(max_workers=self.workers))
+        with pool_cm as pool:
             for start in range(0, n, self.bs):
                 ids = list(range(start, min(start + self.bs, n)))
                 decoded = list(pool.map(decode, ids))

@@ -94,6 +94,15 @@ class InferenceEngine:
         # tuple finishes wholly on the old checkpoint, never a mix.
         self._scoring = (weights, *jax.device_put(
             (state.params, state.model_state), replicated(self.mesh)))
+        # one persistent decode pool for the engine's life: pack_paths
+        # builds a single-batch HostPipeline per request, which would
+        # otherwise spawn + join ~cpu_count decoder threads every
+        # micro-batch on a production host
+        import concurrent.futures as cf
+        import os
+
+        self._decode_pool = cf.ThreadPoolExecutor(
+            max_workers=self.config.decode_workers or (os.cpu_count() or 1))
         self.n_dispatches = 0
         self.device_seconds = 0.0
 
@@ -129,7 +138,8 @@ class InferenceEngine:
         # ONE padded batch at the bucket's static shape (prefetch off:
         # a single batch has nothing to overlap)
         cfg = self.config.replace(prefetch_depth=0)
-        hb = next(iter(HostPipeline(table, cfg, bucket, seed=0)))
+        hb = next(iter(HostPipeline(table, cfg, bucket, seed=0,
+                                    pool=self._decode_pool)))
         return {"paths": list(paths), "n": n, "bucket": bucket, "hb": hb}
 
     def dispatch_packed(self, packed):
