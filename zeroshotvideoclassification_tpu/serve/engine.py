@@ -168,7 +168,10 @@ class InferenceEngine:
         self.device_seconds += time.perf_counter() - t0
         self.n_dispatches += 1
         self.bucket_dispatches[packed["bucket"]] += 1
-        w = np.asarray(jax.device_get(batch["weight"]))
+        # decode success is a HOST fact (weight-0 convention is set at pack
+        # time and passes through the device untouched) — reading it from
+        # the host batch saves a device fetch per dispatch
+        w = np.asarray(packed["hb"].weight)
         return out[:n].astype(np.float32), w[:n] > 0
 
     def embed_paths(self, paths: Sequence[str]):
