@@ -61,8 +61,14 @@ class InferenceEngine:
             replicated,
         )
 
+        import jax.numpy as jnp
+
         self.class_names = list(class_names)
         self.class_embed = np.asarray(class_embed, np.float32)
+        # device-resident copy for the ranking matmul — passing the numpy
+        # array to the jitted cosine_distances would re-upload [C, 300]
+        # floats on every request
+        self._class_embed_dev = jnp.asarray(self.class_embed)
         self.top_k = min(top_k, len(self.class_names))
         self.max_batch = max_batch
         # SPMD over every local device, exactly like the driver's eval path:
@@ -278,7 +284,7 @@ class InferenceEngine:
             emb_in = np.zeros((pad_to, emb.shape[1]), emb.dtype)
             emb_in[:n] = emb
         dist = np.asarray(jax.device_get(cosine_distances(
-            jnp.asarray(emb_in), jnp.asarray(self.class_embed))))[:n]
+            jnp.asarray(emb_in), self._class_embed_dev)))[:n]
         rank = np.argsort(dist, axis=1)
         results = []
         for i, path in enumerate(paths):
