@@ -91,6 +91,67 @@ def test_microbatcher_shutdown_fails_pending_futures():
     assert f0.result(timeout=10) == 1
 
 
+def test_microbatcher_drain_shutdown_finishes_accepted_requests():
+    """shutdown(drain=True) — the SIGTERM path — must resolve every
+    already-accepted request normally instead of failing it, then refuse
+    new submits. Covers both the plain and the two-stage batcher."""
+    def slow(items):
+        time.sleep(0.05)
+        return [x + 100 for x in items]
+
+    for stage2 in (None, lambda mid: [x * 2 for x in mid]):
+        b = MicroBatcher(slow, max_batch=2, max_wait_s=0.001, stage2=stage2)
+        futs = [b.submit(i) for i in range(7)]  # most still queued
+        b.shutdown(drain=True, drain_timeout=20)
+        want = [(i + 100) * (2 if stage2 else 1) for i in range(7)]
+        assert [f.result(timeout=1) for f in futs] == want
+        with pytest.raises(RuntimeError, match="shut down"):
+            b.submit(99)
+
+
+def test_serve_cli_sigterm_graceful_exit():
+    """SIGTERM on the serving CLI exits 0 through the drain path (stop
+    accepting -> finish accepted work -> stop), not via a signal kill —
+    the rolling-restart contract of serve_forever."""
+    import signal
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from zeroshotvideoclassification_tpu.cli.serve import main\n"
+        "main(['--synthetic_word2vec',\n"
+        "      '--classes', 'kayaking', 'surfing', 'archery',\n"
+        "      '--network', 'r3d_18', '--clip_len', '2', '--size', '32',\n"
+        "      '--n_clips', '1', '--max_batch', '8', '--no-warmup',\n"
+        "      '--port', '0', '--compute_dtype', 'float32'])\n"
+        "print('CLEAN EXIT', flush=True)\n")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code], stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True)
+    try:
+        deadline = time.monotonic() + 300
+        lines = []
+        while time.monotonic() < deadline:  # wait for the server banner
+            line = proc.stderr.readline()
+            lines.append(line)
+            if line.startswith("serving "):
+                break
+            if line == "" and proc.poll() is not None:
+                raise AssertionError(
+                    f"server died rc={proc.returncode}: {lines}")
+        else:
+            raise AssertionError(f"server never came up: {lines}")
+        time.sleep(2.0)  # bind + signal handler install happen right after
+        proc.send_signal(signal.SIGTERM)
+        out, err = proc.communicate(timeout=120)
+        assert proc.returncode == 0, (out, err)
+        assert "CLEAN EXIT" in out  # main() returned; not killed mid-flight
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
 def test_microbatcher_two_stage_pipeline_overlaps():
     """With stage2 set, stage 1 of batch N+1 runs while stage 2 still holds
     batch N — the host decodes ahead of the device."""

@@ -53,6 +53,14 @@ class MicroBatcher:
         self.max_wait_s = max_wait_s
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
+        self._accepting = True
+        # submitted/completed counters let shutdown(drain=True) wait until
+        # every accepted request resolved; completion has two writer threads
+        # (stage-1 exception paths + whichever stage finishes), so the pair
+        # shares one lock
+        self._count_lock = threading.Lock()
+        self.n_submitted = 0
+        self.n_completed = 0
         self.n_requests = 0
         self.n_batches = 0
         # bounded: an always-on server would otherwise leak one int per batch
@@ -67,9 +75,11 @@ class MicroBatcher:
             w.start()
 
     def submit(self, item) -> Future:
-        if self._stop.is_set():
+        if self._stop.is_set() or not self._accepting:
             raise RuntimeError("batcher is shut down")
         fut: Future = Future()
+        with self._count_lock:
+            self.n_submitted += 1
         self._q.put((item, fut, time.monotonic()))
         if self._stop.is_set():
             # shutdown() raced our put: its drain may already have finished,
@@ -107,6 +117,10 @@ class MicroBatcher:
                 break
         return batch
 
+    def _mark_done(self, n: int):
+        with self._count_lock:
+            self.n_completed += n
+
     def _finish(self, futures, submitted, results):
         if len(results) != len(futures):
             raise RuntimeError(f"got {len(results)} results for "
@@ -115,6 +129,7 @@ class MicroBatcher:
         for f, r, t in zip(futures, results, submitted):
             self.batch_latency_s.append(done - t)
             f.set_result(r)
+        self._mark_done(len(futures))
 
     def _run(self):
         while not self._stop.is_set():
@@ -136,6 +151,7 @@ class MicroBatcher:
                 for f in futures:
                     if not f.done():
                         f.set_exception(e)
+                self._mark_done(len(futures))
                 continue
             # hand off to the device stage; a full queue is backpressure
             # (bounded host lookahead), re-checked against shutdown
@@ -155,6 +171,7 @@ class MicroBatcher:
                             if not f.done():
                                 f.set_exception(
                                     RuntimeError("batcher shut down"))
+                        self._mark_done(len(futures))
                         break
 
     def _run_stage2(self):
@@ -171,6 +188,7 @@ class MicroBatcher:
                 for f in futures:
                     if not f.done():
                         f.set_exception(e)
+                self._mark_done(len(futures))
 
     def _drain_pending(self):
         """Fail every future still sitting in the queues (post-stop only)."""
@@ -181,6 +199,7 @@ class MicroBatcher:
                 break
             if not fut.done():
                 fut.set_exception(RuntimeError("batcher shut down"))
+            self._mark_done(1)
         if self.stage2 is not None:
             while True:
                 try:
@@ -190,11 +209,28 @@ class MicroBatcher:
                 for fut in futures:
                     if not fut.done():
                         fut.set_exception(RuntimeError("batcher shut down"))
+                self._mark_done(len(futures))
 
-    def shutdown(self, timeout: float = 5.0):
+    def shutdown(self, timeout: float = 5.0, drain: bool = False,
+                 drain_timeout: float = 30.0):
         """Stop the workers and fail any still-pending futures: items queued
         but never collected would otherwise block their request threads for
-        the caller's full result timeout."""
+        the caller's full result timeout.
+
+        drain=True is the graceful variant (SIGTERM handling in
+        cli/serve.py): stop ACCEPTING first, let every already-accepted
+        request resolve normally (bounded by drain_timeout), THEN stop the
+        workers — a rolling restart should not fail requests it already
+        took."""
+        if drain:
+            self._accepting = False
+            deadline = time.monotonic() + drain_timeout
+            while time.monotonic() < deadline:
+                with self._count_lock:
+                    done = self.n_completed >= self.n_submitted
+                if done:
+                    break
+                time.sleep(0.02)
         self._stop.set()
         for w in self._workers:
             w.join(timeout=timeout)

@@ -105,8 +105,10 @@ class ZeroShotService:
                 "batcher": self.batcher.stats(),
                 "engine": self.engine.stats()}
 
-    def close(self):
-        self.batcher.shutdown()
+    def close(self, drain: bool = False):
+        """drain=True: stop accepting, let accepted requests finish first
+        (the graceful-restart path; see MicroBatcher.shutdown)."""
+        self.batcher.shutdown(drain=drain)
 
 
 def make_handler(service: ZeroShotService):
@@ -199,16 +201,38 @@ def serve_forever(engine: InferenceEngine, host: str = "127.0.0.1",
                   data_root: Optional[str] = None,
                   pipeline_depth: int = 2):
     """Blocking server loop; returns the (server, service) pair via
-    start_server for embedding/tests."""
-    server, service = start_server(engine, host, port, max_wait_s,
-                                   data_root=data_root,
-                                   pipeline_depth=pipeline_depth)
+    start_server for embedding/tests.
+
+    SIGTERM (and Ctrl+C) shut down gracefully: the accept loop stops,
+    then the batcher drains — requests already accepted resolve normally
+    before the process exits (rolling-restart semantics)."""
+    import signal
+
+    # construct directly (NOT via start_server, which spawns its own
+    # accept-loop thread — two serve_forever loops on one socket race
+    # each other and the shutdown event)
+    service = ZeroShotService(engine, max_wait_s=max_wait_s,
+                              data_root=data_root,
+                              pipeline_depth=pipeline_depth)
+    server = ThreadingHTTPServer((host, port), make_handler(service))
+    # server.shutdown() blocks until the accept loop exits, so the handler
+    # must not call it inline on the main thread that runs serve_forever
+    # below — hand it to a one-shot thread instead. Signals can only be
+    # installed from the main thread (tests embed serve_forever elsewhere).
+    main_thread = threading.current_thread() is threading.main_thread()
+    prev = None
+    if main_thread:
+        prev = signal.getsignal(signal.SIGTERM)
+        signal.signal(signal.SIGTERM, lambda *_: threading.Thread(
+            target=server.shutdown, daemon=True).start())
     if ready_event is not None:
         ready_event.set()
     try:
         server.serve_forever()
     finally:
-        service.close()
+        if main_thread:
+            signal.signal(signal.SIGTERM, prev)
+        service.close(drain=True)
 
 
 def start_server(engine: InferenceEngine, host: str = "127.0.0.1",
