@@ -215,10 +215,16 @@ class InferenceEngine:
             raise ValueError(
                 "reload needs a checkpoint path (refusing to swap the "
                 "serving model to random-init weights)")
-        # throwaway template for the strict load's structure; its opt_state
-        # and init params are discarded — only (params, model_state) ship
-        template = create_train_state(
-            self.model, make_optimizer(self.config.lr), jax.random.PRNGKey(0))
+        # abstract template for the strict load's structure: eval_shape
+        # traces create_train_state without running it, so a reload never
+        # pays the model.init forward (an XLA compile on first use) or its
+        # transient device allocations — the checkpoint supplies every
+        # (params, model_state) value; the untouched opt_state leaves stay
+        # abstract and are discarded
+        template = jax.eval_shape(
+            lambda rng: create_train_state(
+                self.model, make_optimizer(self.config.lr), rng),
+            jax.random.PRNGKey(0))
         state, meta = load_checkpoint(
             weights, template, strict_sections=("params", "model_state"))
         scoring = jax.device_put((state.params, state.model_state),

@@ -48,7 +48,11 @@ def _flatten(tree) -> Dict[str, np.ndarray]:
 def _unflatten_into(template, flat: Dict[str, np.ndarray]):
     """Rebuild a pytree with `template`'s structure from flat arrays.
     Missing keys keep the template's value (non-strict load); extra keys are
-    ignored. Returns (tree, n_loaded, n_total)."""
+    ignored. Returns (tree, n_loaded, n_total).
+
+    The template only contributes structure, shapes and dtypes, so a
+    jax.eval_shape ShapeDtypeStruct tree works too — callers that load
+    every leaf they use (strict sections) never pay a real init."""
     paths_leaves = jax.tree_util.tree_flatten_with_path(template)
     treedef = paths_leaves[1]
     loaded = 0
@@ -56,7 +60,10 @@ def _unflatten_into(template, flat: Dict[str, np.ndarray]):
     for path, leaf in paths_leaves[0]:
         key = "/".join(_entry_str(p) for p in path)
         if key in flat and flat[key].shape == np.shape(leaf):
-            new_leaves.append(flat[key].astype(np.asarray(leaf).dtype))
+            dtype = getattr(leaf, "dtype", None)
+            if dtype is None:  # Python scalar leaf
+                dtype = np.asarray(leaf).dtype
+            new_leaves.append(flat[key].astype(dtype))
             loaded += 1
         else:
             new_leaves.append(leaf)
