@@ -7,8 +7,13 @@ the wheel is pure-Python and oracle-free by design).
 """
 
 import os
-import tomllib
 from importlib import import_module
+
+import pytest
+
+# stdlib only since 3.11; pyproject declares requires-python >=3.10, so a
+# 3.10 run must SKIP these metadata checks, not error at collection
+tomllib = pytest.importorskip("tomllib")
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -152,6 +152,59 @@ def test_serve_cli_sigterm_graceful_exit():
             proc.kill()
 
 
+def test_service_wait_inflight_blocks_until_responses_written():
+    """The graceful-exit path must be able to wait for handler threads to
+    WRITE their responses (they are daemon threads — process exit would
+    otherwise cut a response between its future resolving and the socket
+    write). wait_inflight returns False while a request is mid-handler and
+    True once it finished."""
+    from zeroshotvideoclassification_tpu.serve.server import ZeroShotService
+
+    svc = ZeroShotService.__new__(ZeroShotService)  # counters only
+    svc._inflight_cv = threading.Condition()
+    svc._inflight = 0
+    svc.n_http = 0
+    assert svc.wait_inflight(timeout=0.05)  # idle: already quiesced
+    svc._enter_http()
+    assert not svc.wait_inflight(timeout=0.1)  # mid-request: times out
+    t = threading.Thread(target=lambda: (time.sleep(0.2), svc._exit_http()))
+    t.start()
+    assert svc.wait_inflight(timeout=5.0)  # wakes on the response finishing
+    t.join()
+    assert svc.n_http == 1
+
+
+def test_submit_accepted_is_always_drained_not_failed():
+    """The accepting check and the submitted-counter increment are atomic:
+    a drain shutdown racing submit() either rejects the request outright or
+    resolves it normally — never fails an accepted future. Hammer the race
+    window with many submitter threads against one drain."""
+    b = MicroBatcher(lambda items: [x * 10 for x in items],
+                     max_batch=8, max_wait_s=0.001)
+    results, rejected = [], []
+    start = threading.Event()
+
+    def submitter(i):
+        start.wait()
+        try:
+            fut = b.submit(i)
+        except RuntimeError:
+            rejected.append(i)
+            return
+        results.append(fut.result(timeout=10))  # accepted -> must resolve
+
+    threads = [threading.Thread(target=submitter, args=(i,))
+               for i in range(32)]
+    for t in threads:
+        t.start()
+    start.set()
+    b.shutdown(drain=True, drain_timeout=20)
+    for t in threads:
+        t.join(timeout=20)
+    assert len(results) + len(rejected) == 32
+    assert all(r % 10 == 0 for r in results)
+
+
 def test_microbatcher_two_stage_pipeline_overlaps():
     """With stage2 set, stage 1 of batch N+1 runs while stage 2 still holds
     batch N — the host decodes ahead of the device."""

@@ -186,6 +186,36 @@ def test_checkpoint_roundtrip(tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_load_sections_skips_optimizer_state(tmp_path, rng):
+    """load_sections limits what is READ: a params+model_state-only load
+    (serving /reload) must keep the template's opt_state verbatim — even an
+    abstract eval_shape template — and refuse a strict section it was told
+    not to load (it could never verify it)."""
+    import pytest
+
+    model = _tiny_model()
+    opt = make_optimizer(1e-2)
+    ts = create_train_state(model, opt, jax.random.PRNGKey(0))
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, ts, epoch=1, accuracy=1.0)
+
+    template = jax.eval_shape(
+        lambda k: create_train_state(model, opt, k), jax.random.PRNGKey(7))
+    restored, _ = load_checkpoint(
+        path, template, strict_sections=("params", "model_state"),
+        load_sections=("params", "model_state"))
+    for a, b in zip(jax.tree.leaves(ts.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the opt_state leaves were never read: still abstract template leaves
+    for leaf in jax.tree.leaves(restored.opt_state):
+        assert isinstance(leaf, jax.ShapeDtypeStruct)
+    with pytest.raises(ValueError, match="not in load_sections"):
+        load_checkpoint(path, template,
+                        strict_sections=("params", "opt_state"),
+                        load_sections=("params",))
+
+
 def test_warm_start_partial(tmp_path, rng):
     model = _tiny_model()
     opt = make_optimizer(1e-2)

@@ -413,11 +413,12 @@ class Experiment:
                                 sdir, f"samples_train_epoch{epoch}_"),
                             classes=(table.classes if host.label[0] >= 0
                                      else None))
-                    except ImportError as e:
-                        # imageio is an optional extra; a missing debug
-                        # dump must not kill the training run
-                        print(f"WARNING: --save_samples skipped ({e}); "
-                              f"pip install imageio", file=sys.stderr)
+                    except Exception as e:  # noqa: BLE001
+                        # a debug dump must not kill the training run —
+                        # not for a missing imageio extra, and not for a
+                        # full disk / missing GIF backend / bad frame either
+                        print(f"WARNING: --save_samples skipped "
+                              f"({type(e).__name__}: {e})", file=sys.stderr)
                     sample_saved = True
                 sharded = device_batch_global(
                     self.mesh, host, table.n_clips, cfg.clip_len,

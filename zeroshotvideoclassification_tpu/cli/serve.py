@@ -51,6 +51,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "stage and the device dispatch stage (each holds "
                         "its canvases in host RAM; 0 disables pipelining "
                         "for the lowest memory footprint)")
+    p.add_argument("--drain_timeout", type=float, default=30.0,
+                   help="seconds a graceful shutdown (SIGTERM/Ctrl+C) "
+                        "waits for already-accepted requests to finish "
+                        "before failing them; size to the slowest "
+                        "legitimate batch (a saturated max_batch of real "
+                        "video decodes can exceed the default on a loaded "
+                        "host)")
     p.add_argument("--data_root", default=None,
                    help="if set, reject /classify paths that resolve "
                         "outside this directory (recommended with a "
@@ -86,10 +93,14 @@ def main(argv=None):
           f"http://{args.host}:{args.port}  (max_batch={args.max_batch}, "
           f"window={args.max_wait_ms}ms, data_shards={engine.n_shards})",
           file=sys.stderr)
-    serve_forever(engine, args.host, args.port,
-                  max_wait_s=args.max_wait_ms / 1e3,
-                  data_root=args.data_root,
-                  pipeline_depth=args.pipeline_depth)
+    try:
+        serve_forever(engine, args.host, args.port,
+                      max_wait_s=args.max_wait_ms / 1e3,
+                      data_root=args.data_root,
+                      pipeline_depth=args.pipeline_depth,
+                      drain_timeout=args.drain_timeout)
+    finally:
+        engine.close()  # the CLI owns the engine's decode pool
 
 
 if __name__ == "__main__":

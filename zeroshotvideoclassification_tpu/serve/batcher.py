@@ -75,10 +75,14 @@ class MicroBatcher:
             w.start()
 
     def submit(self, item) -> Future:
-        if self._stop.is_set() or not self._accepting:
-            raise RuntimeError("batcher is shut down")
         fut: Future = Future()
+        # the accepting check and the submitted-counter increment must be
+        # atomic: a submit that passed the check but had not yet counted
+        # itself would be invisible to shutdown(drain=True)'s wait, so an
+        # "accepted" request could be failed instead of drained
         with self._count_lock:
+            if self._stop.is_set() or not self._accepting:
+                raise RuntimeError("batcher is shut down")
             self.n_submitted += 1
         self._q.put((item, fut, time.monotonic()))
         if self._stop.is_set():
@@ -223,7 +227,8 @@ class MicroBatcher:
         workers — a rolling restart should not fail requests it already
         took."""
         if drain:
-            self._accepting = False
+            with self._count_lock:  # pairs with submit()'s atomic check
+                self._accepting = False
             deadline = time.monotonic() + drain_timeout
             while time.monotonic() < deadline:
                 with self._count_lock:

@@ -116,6 +116,14 @@ class InferenceEngine:
     def weights_path(self):
         return self._scoring[0]
 
+    def close(self):
+        """Shut down the persistent decode pool (its workers are non-daemon
+        threads, so an engine that is created and dropped repeatedly — test
+        suites, notebooks — would otherwise leak ~cpu_count threads per
+        instance until interpreter exit). Idempotent; the engine must not
+        be used afterwards."""
+        self._decode_pool.shutdown(wait=True, cancel_futures=True)
+
     # ------------------------------------------------------------- embed ----
     def pack_paths(self, paths: Sequence[str]):
         """HOST half: decode + pack ONE padded host batch (no device work).
@@ -226,7 +234,8 @@ class InferenceEngine:
                 self.model, make_optimizer(self.config.lr), rng),
             jax.random.PRNGKey(0))
         state, meta = load_checkpoint(
-            weights, template, strict_sections=("params", "model_state"))
+            weights, template, strict_sections=("params", "model_state"),
+            load_sections=("params", "model_state"))
         scoring = jax.device_put((state.params, state.model_state),
                                  replicated(self.mesh))
         self._scoring = (weights, *scoring)

@@ -78,10 +78,39 @@ class ZeroShotService:
             self.batcher = MicroBatcher(
                 self.engine.classify, max_batch=engine.max_batch,
                 max_wait_s=max_wait_s)
-        self._lock = threading.Lock()
+        # in-flight HTTP accounting: handler threads are daemons (stdlib
+        # ThreadingHTTPServer), so process exit would kill them between a
+        # drained future resolving and the response WRITE — the graceful
+        # path below must be able to wait for responses to flush
+        self._inflight_cv = threading.Condition()
+        self._inflight = 0
         self.n_http = 0
         self.data_root = (os.path.realpath(data_root)
                           if data_root is not None else None)
+
+    def _enter_http(self):
+        with self._inflight_cv:
+            self._inflight += 1
+            self.n_http += 1
+
+    def _exit_http(self):
+        with self._inflight_cv:
+            self._inflight -= 1
+            self._inflight_cv.notify_all()
+
+    def wait_inflight(self, timeout: float) -> bool:
+        """Block until no HTTP handler is mid-request (response written),
+        or `timeout` elapses; True if fully quiesced."""
+        import time as _time
+
+        deadline = _time.monotonic() + timeout
+        with self._inflight_cv:
+            while self._inflight > 0:
+                remaining = deadline - _time.monotonic()
+                if remaining <= 0:
+                    return False
+                self._inflight_cv.wait(remaining)
+        return True
 
     def admit(self, path: str) -> Optional[str]:
         """data_root confinement (module docstring trust model): the
@@ -105,10 +134,13 @@ class ZeroShotService:
                 "batcher": self.batcher.stats(),
                 "engine": self.engine.stats()}
 
-    def close(self, drain: bool = False):
-        """drain=True: stop accepting, let accepted requests finish first
-        (the graceful-restart path; see MicroBatcher.shutdown)."""
-        self.batcher.shutdown(drain=drain)
+    def close(self, drain: bool = False, drain_timeout: float = 30.0):
+        """drain=True: stop accepting, let accepted requests finish first,
+        bounded by `drain_timeout` seconds (the graceful-restart path; see
+        MicroBatcher.shutdown). The engine is NOT closed here — it may be
+        shared across services (tests, notebooks); its owner calls
+        engine.close()."""
+        self.batcher.shutdown(drain=drain, drain_timeout=drain_timeout)
 
 
 def make_handler(service: ZeroShotService):
@@ -129,8 +161,20 @@ def make_handler(service: ZeroShotService):
             return json.loads(self.rfile.read(max(0, n)) or b"{}")
 
         def do_GET(self):
-            with service._lock:
-                service.n_http += 1
+            service._enter_http()
+            try:
+                self._do_GET()
+            finally:
+                service._exit_http()
+
+        def do_POST(self):
+            service._enter_http()
+            try:
+                self._do_POST()
+            finally:
+                service._exit_http()
+
+        def _do_GET(self):
             if self.path == "/healthz":
                 self._send(200, {"status": "ok",
                                  "network": service.engine.config.network,
@@ -140,9 +184,7 @@ def make_handler(service: ZeroShotService):
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
-        def do_POST(self):
-            with service._lock:
-                service.n_http += 1
+        def _do_POST(self):
             if self.path == "/reload":
                 try:
                     req = self._read_json()
@@ -199,13 +241,20 @@ def serve_forever(engine: InferenceEngine, host: str = "127.0.0.1",
                   port: int = 8000, max_wait_s: float = 0.01,
                   ready_event: Optional[threading.Event] = None,
                   data_root: Optional[str] = None,
-                  pipeline_depth: int = 2):
-    """Blocking server loop; returns the (server, service) pair via
-    start_server for embedding/tests.
+                  pipeline_depth: int = 2,
+                  drain_timeout: float = 30.0):
+    """Blocking server loop (the cli.serve path); returns None when the
+    accept loop stops. For an embeddable non-blocking (server, service)
+    pair use start_server.
 
-    SIGTERM (and Ctrl+C) shut down gracefully: the accept loop stops,
-    then the batcher drains — requests already accepted resolve normally
-    before the process exits (rolling-restart semantics)."""
+    SIGTERM (and Ctrl+C) shut down gracefully: the accept loop stops, the
+    batcher drains (requests already accepted resolve normally, bounded by
+    `drain_timeout` — size it to the slowest legitimate batch, e.g. a
+    saturated max_batch of real decodes), and the in-flight handler threads
+    get a bounded window to WRITE the drained responses before the process
+    exits (rolling-restart semantics; handler threads are daemons, so
+    without that wait a response could be cut between its future resolving
+    and the socket write)."""
     import signal
 
     # construct directly (NOT via start_server, which spawns its own
@@ -232,7 +281,13 @@ def serve_forever(engine: InferenceEngine, host: str = "127.0.0.1",
     finally:
         if main_thread:
             signal.signal(signal.SIGTERM, prev)
-        service.close(drain=True)
+        try:
+            service.close(drain=True, drain_timeout=drain_timeout)
+            # the drain resolved every accepted future; give the handler
+            # threads a bounded window to serialize + write those responses
+            service.wait_inflight(timeout=10.0)
+        finally:
+            server.server_close()  # release the listening socket
 
 
 def start_server(engine: InferenceEngine, host: str = "127.0.0.1",

@@ -108,6 +108,7 @@ def load_checkpoint(
     path: str,
     train_state,
     strict_sections: Tuple[str, ...] = ("params", "model_state", "opt_state"),
+    load_sections: Tuple[str, ...] = ("params", "model_state", "opt_state"),
 ) -> Tuple[Any, Dict]:
     """Restore a full TrainState (structure from `train_state`).
 
@@ -117,14 +118,26 @@ def load_checkpoint(
     the failure mode this guards against. Evaluation-only restores pass
     strict_sections=("params", "model_state") so optimizer-layout changes
     across framework versions don't block scoring old checkpoints. Use
-    warm_start() for deliberately partial weight loads."""
+    warm_start() for deliberately partial weight loads.
+
+    `load_sections` limits which sections are READ at all: npz members are
+    lazy, so a section left out never touches disk and its tree keeps the
+    template's leaves verbatim. Serving's /reload passes
+    ("params", "model_state") — eagerly reading and converting Adam's m/v
+    moments (~2x the param bytes) only to discard them would roughly triple
+    the I/O of every hot-swap."""
+    missing = set(strict_sections) - set(load_sections)
+    if missing:
+        raise ValueError(f"strict_sections {sorted(missing)} are not in "
+                         f"load_sections — they could never be verified")
     data = np.load(path, allow_pickle=False)
     meta = json.loads(str(data["__meta__"]))
-    sections = {"params": {}, "model_state": {}, "opt_state": {}}
+    sections = {sec: {} for sec in load_sections}
     for k in data.files:
         if "::" in k:
             sec, key = k.split("::", 1)
-            sections[sec][key] = data[k]
+            if sec in sections:
+                sections[sec][key] = data[k]
     new = {}
     for sec, flat in sections.items():
         tree, loaded, total = _unflatten_into(getattr(train_state, sec), flat)
