@@ -142,6 +142,45 @@ def test_clean_kinetics_scrub(tmp_path):
     assert list(f) == ["/data/k700/frames/good_video"]
 
 
+def test_clean_kinetics_missing_list_warns_and_noops(tmp_path, capsys,
+                                                     monkeypatch):
+    from zeroshotvideoclassification_tpu.data import datasets as DS
+
+    monkeypatch.setattr(DS, "_warned_no_broken_list", [False])
+    fnames = np.asarray(["/data/k700/frames/v1"], object)
+    labels = np.asarray(["a"])
+    f, l = clean_kinetics(fnames, labels, str(tmp_path / "nope.txt"))
+    assert list(f) == list(fnames) and list(l) == list(labels)
+    assert "skipping the Kinetics scrub" in capsys.readouterr().err
+    clean_kinetics(fnames, labels, str(tmp_path / "nope.txt"))
+    assert capsys.readouterr().err == ""  # warns once per process
+
+
+def test_kinetics_catalog_order_is_deterministic(tmp_path, monkeypatch):
+    """Table order must not depend on filesystem glob/readdir order:
+    multi-host lockstep sharding slices by index and --train_samples
+    subsets by position. get_kinetics must sort what glob returns."""
+    import glob as globmod
+    import json as _json
+
+    from zeroshotvideoclassification_tpu.data.datasets import get_kinetics
+
+    base = tmp_path / "Kinetics" / "Kinetics-700"
+    (base / "annotations").mkdir(parents=True)
+    names = ["zeta", "alpha", "mid"]
+    for n in names:
+        (base / "frames" / n).mkdir(parents=True)
+    (base / "annotations" / "meta.json").write_text(
+        _json.dumps({n: "c_" + n for n in names}))
+
+    real_glob = globmod.glob
+    monkeypatch.setattr(
+        globmod, "glob",
+        lambda *a, **k: list(reversed(sorted(real_glob(*a, **k)))))
+    fnames, labels, _ = get_kinetics(str(tmp_path))
+    assert [os.path.basename(f) for f in fnames] == sorted(names)
+
+
 def test_activitynet_catalog_and_npy_pipeline(tmp_path, rng):
     """kinetics2others' extra leg: ActivityNet pre-cut npy clips through the
     catalog + decode + device transform."""
@@ -317,6 +356,32 @@ def test_kinetics2others_route_with_fixtures(tmp_path):
         "ActivityNet", "ucf101", "hmdb51"]
     assert ds_eval["testing"][0].n_clips == 25  # dataset.py:75 max(5*5, n)
     assert ds_eval["training"] == []
+
+
+def test_frame_dir_cv2_fallback_survives_mixed_dims(tmp_path, rng):
+    """A frame dir with one differently-sized JPEG (re-encoded/corrupt
+    entry) must repeat-fill like any corrupt frame, not crash np.stack —
+    the weight-0 contract says no decode failure aborts the run. (The
+    native path already behaves this way; this pins the cv2 fallback.)"""
+    cv2 = pytest.importorskip("cv2")
+
+    from zeroshotvideoclassification_tpu.data import decode as D
+
+    images = tmp_path / "vid" / "images"
+    images.mkdir(parents=True)
+    for i in range(6):
+        hw = (96, 128) if i != 3 else (64, 80)  # frame 4 re-encoded smaller
+        img = rng.integers(0, 256, size=(*hw, 3), dtype=np.uint8)
+        cv2.imwrite(str(images / ("img_%05d.jpg" % (i + 1))),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    old = D._native
+    try:
+        D._native = False  # pin the cv2 fallback path
+        frames, ok = D.decode_frame_dir(str(tmp_path / "vid"), 6, 1, True)
+    finally:
+        D._native = old
+    assert ok and frames.shape == (6, 96, 128, 3)
+    np.testing.assert_array_equal(frames[3], frames[2])  # repeat fill
 
 
 def test_prefetch_propagates_decode_errors(monkeypatch):

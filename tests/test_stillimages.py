@@ -61,6 +61,27 @@ def test_motion_kernel_matches_oracle(rng):
         np.testing.assert_allclose(out[0, f], want, atol=2e-4)
 
 
+def test_motion_kernel_matches_oracle_on_overhanging_boxes(rng):
+    """Boxes that extend past the image (reachable: load_and_bound_image's
+    integer-scale quirk keeps min sides in [87, 111] unscaled, where
+    side=112 must overhang) follow the reference semantics — numpy slicing
+    truncates the crop at the border and Resize((112,112)) STRETCHES what
+    survived (auxiliary_stillimages.py:132-134) — not edge-row repetition."""
+    hw = (100, 400)  # min side inside the unscaled [87, 111] window
+    img = rng.integers(0, 256, size=(*hw, 3), dtype=np.uint8)
+    # y+side=112 > 100 on every frame; x overhangs on the last frame too
+    traj = np.asarray([[0, 5, 112], [0, 200, 112], [0, 300, 112]])
+    y0, y1, wy, x0, x1, wx = motion_resample_indices(traj, hw, CROP)
+    from zeroshotvideoclassification_tpu.data.stillimages import CH_OFFSET, CH_SCALE
+
+    out = np.asarray(fused_image_motion_transform(
+        img[None], y0[None], y1[None], wy[None], x0[None], x1[None], wx[None],
+        CH_SCALE, CH_OFFSET))
+    for f, (y, x, side) in enumerate(traj):
+        want = _oracle_frame(img, y, x, side)  # numpy-clamped crop + resize
+        np.testing.assert_allclose(out[0, f], want, atol=2e-4)
+
+
 def test_sun_pipeline_end_to_end(tmp_path, rng):
     import cv2
 

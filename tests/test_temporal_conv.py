@@ -50,3 +50,18 @@ def test_gradients_match_lax_conv(rng):
     np.testing.assert_allclose(
         np.asarray(gp[1]).reshape(3, 1, 1, 8, 8), np.asarray(gr[1]),
         atol=1e-4, rtol=1e-4)
+
+
+def test_pick_tile_fallback_stays_legal():
+    """When no listed tile divides p, the fallback must still return a
+    multiple-of-8 divisor under the VMEM budget (returning p itself could
+    break Mosaic's sublane rule AND the budget), or fail loudly."""
+    import pytest
+
+    from zeroshotvideoclassification_tpu.ops.temporal_conv import _pick_tile
+
+    pt = _pick_tile(8 * 353, t=4, ci=64)  # 353 is prime: no listed divisor
+    assert pt % 8 == 0 and (8 * 353) % pt == 0
+    assert (4 + 2) * pt * 64 * 2 <= (1 << 20)
+    with pytest.raises(ValueError, match="no legal tile"):
+        _pick_tile(53 * 53, t=4, ci=64)  # odd p: no multiple-of-8 divisor

@@ -91,7 +91,12 @@ def get_kinetics(root: str, n_classes: str = "700"):
     with open(os.path.join(base, "annotations", "meta.json")) as fp:
         meta = json.load(fp)
     fnames, labels = [], []
-    for folder in glob.glob(os.path.join(base, "frames", "*")):
+    # sorted: the reference iterated the raw glob (its order is
+    # filesystem-dependent), but table order here must be deterministic —
+    # multi-host lockstep sharding slices each process's own table by index
+    # (parallel.multihost.shard_table), and --train_samples subsets by
+    # position (text.filters.filter_samples)
+    for folder in sorted(glob.glob(os.path.join(base, "frames", "*"))):
         fnames.append(folder)
         labels.append(meta[os.path.basename(folder)])
     classes = sorted(np.unique(labels).tolist())
@@ -122,18 +127,43 @@ def get_sun(root: str):
         if label in SUN_EXCLUDED:
             continue
         fold = directory + cp
-        for fname in os.listdir(fold):
+        # sorted for the same determinism reasons as get_kinetics (readdir
+        # order is filesystem-dependent; the class file list itself is fixed)
+        for fname in sorted(os.listdir(fold)):
             fnames.append(os.path.join(fold, fname))
             labels.append(label)
     return np.asarray(fnames, object), np.asarray(labels), np.unique(labels)
 
 
-def clean_kinetics(fnames, labels, broken_list_path: str = "assets/kinetics_broken_videos.txt"):
+_warned_no_broken_list = [False]
+
+
+def clean_kinetics(fnames, labels,
+                   broken_list_path: str = "assets/kinetics_broken_videos.txt"):
     """Scrub known-broken Kinetics videos. The reference matched fname[75:]
     against the list (a hardcoded path-prefix length, quirk #12); here the
-    match is on the trailing path components."""
+    match is on the trailing path components.
+
+    The default path is cwd-relative (the repo-wide ./assets convention);
+    when it is missing there, the repo-root copy next to the package is
+    tried, and an absent list warns ONCE instead of silently reintroducing
+    every known-broken video (a decode-failure debugging trap when training
+    is launched from outside the repo root)."""
     if not os.path.exists(broken_list_path):
-        return fnames, labels
+        anchored = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), broken_list_path)
+        if not os.path.isabs(broken_list_path) and os.path.exists(anchored):
+            broken_list_path = anchored
+        else:
+            if not _warned_no_broken_list[0]:
+                import sys
+
+                print(f"WARNING: broken-videos list {broken_list_path!r} "
+                      f"not found; skipping the Kinetics scrub",
+                      file=sys.stderr)
+                _warned_no_broken_list[0] = True
+            return fnames, labels
     with open(broken_list_path) as f:
         broken = set(l.rstrip("\n") for l in f)
 

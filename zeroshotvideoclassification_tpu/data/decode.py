@@ -77,6 +77,12 @@ def decode_frame_dir(
     frames = []
     for p in paths:
         img = cv2.imread(p)
+        if img is not None and frames and img.shape != frames[0].shape:
+            # dims-mismatched frame (re-encoded/corrupt dataset entry):
+            # treat like a failed decode — np.stack would otherwise raise
+            # and abort the whole run instead of honoring the weight-0
+            # contract; the native libjpeg path repeat-fills the same way
+            img = None
         if img is None:
             if not frames:
                 return None, False

@@ -33,10 +33,8 @@ from zeroshotvideoclassification_tpu.data.datasets import VideoTable
 from zeroshotvideoclassification_tpu.data.decode import DECODERS
 from zeroshotvideoclassification_tpu.data.transform_params import (
     ResampleIndices,
-    TransformParams,
     make_transform_params,
     resample_indices,
-    resized_dims,
 )
 
 
@@ -223,10 +221,11 @@ class HostPipeline:
             # per-sample window offset = first referenced source row/col,
             # clamped so the static window stays inside the canvas; the
             # gather indices are rebased into window coordinates
+            # x0 is the elementwise floor index (x1 = min(x0+1, lim) >= x0
+            # even under flip), so each axis's first referenced row/col is
+            # just its own 0-index minimum
             off_y = np.clip(idx.y0.min(axis=1), 0, ch - wh).astype(np.int64)
-            off_x = np.clip(np.minimum(idx.x0.min(axis=1),
-                                       idx.x1.min(axis=1)),
-                            0, cw - ww).astype(np.int64)
+            off_x = np.clip(idx.x0.min(axis=1), 0, cw - ww).astype(np.int64)
             idx = ResampleIndices(
                 y0=(idx.y0 - off_y[:, None]).astype(np.int32),
                 y1=(idx.y1 - off_y[:, None]).astype(np.int32), wy=idx.wy,

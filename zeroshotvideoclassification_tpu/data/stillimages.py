@@ -65,8 +65,8 @@ def load_and_bound_image(path: str) -> Optional[np.ndarray]:
         img = np.repeat(img.reshape(img.shape[0], img.shape[1], 1), 3, 2)
     if img.shape[2] == 2:
         img = np.stack([img[:, :, 0], img[:, :, 1], img[:, :, 1]], 2)
-    if img.shape[2] == 4:
-        img = img[:, :, :3]
+    # (no 4-channel branch: RGBA was already truncated to 3 at imread above —
+    # the reference needed one because its skimage path had no earlier fix)
     return np.ascontiguousarray(img)
 
 
@@ -110,16 +110,26 @@ def motion_resample_indices(
     """Per-frame separable gather indices for crop(side)->resize(crop_size).
 
     The resize maps output pixel d to source coordinate
-    y + (d + 0.5) * side / crop_size - 0.5 (half-pixel bilinear with the
-    out/in size ratio: the crop target is an explicit (112, 112) size)."""
-    t = trajectory.shape[0]
+    y + (d + 0.5) * extent / crop_size - 0.5 (half-pixel bilinear with the
+    out/in size ratio: the crop target is an explicit (112, 112) size).
+
+    `extent` is the box side CLAMPED to the image per axis: the reference
+    slices img[y:y+side, x:x+side] with numpy (which truncates at the
+    border) and Resize((112,112))-STRETCHES whatever survived
+    (auxiliary_stillimages.py:132-134) — reachable when the bound image's
+    min side is in [87, 111] (the integer-scale quirk in
+    load_and_bound_image keeps those unscaled, so side=112 boxes overhang).
+    Sampling each axis over its clamped extent reproduces that stretch;
+    boxes that fit (extent == side, the overwhelmingly common case) are
+    untouched."""
     dst = np.arange(crop_size, dtype=np.float64)[None, :]  # [1, S]
-    side = trajectory[:, 2:3].astype(np.float64)
-    ratio = side / float(crop_size)
-    src_rel = np.maximum((dst + 0.5) * ratio - 0.5, 0.0)   # [T, S]
-    src_rel = np.minimum(src_rel, side - 1.0)
+    side = trajectory[:, 2].astype(np.float64)
 
     def axis(origin, limit):
+        ext = np.minimum(side, limit - origin.astype(np.float64))  # [T]
+        ratio = ext[:, None] / float(crop_size)
+        src_rel = np.maximum((dst + 0.5) * ratio - 0.5, 0.0)  # [T, S]
+        src_rel = np.minimum(src_rel, ext[:, None] - 1.0)
         src = origin[:, None].astype(np.float64) + src_rel
         i0 = np.floor(src)
         w = (src - i0).astype(np.float32)

@@ -60,7 +60,17 @@ def _pick_tile(p: int, t: int, ci: int, budget_bytes: int = 1 << 20) -> int:
     for pt in (1024, 784, 512, 448, 392, 256, 128, 112, 64, 32, 16, 8):
         if p % pt == 0 and (t + 2) * pt * ci * 2 <= budget_bytes:
             return pt
-    return p
+    # no listed tile divides p: any 8-multiple divisor under budget still
+    # satisfies both constraints (returning p itself could break the
+    # multiple-of-8 rule AND blow the budget for prime-ish p)
+    for pt in range(min(p, budget_bytes // ((t + 2) * ci * 2)) // 8 * 8,
+                    0, -8):
+        if p % pt == 0:
+            return pt
+    raise ValueError(
+        f"temporal_conv3: no legal tile for p={p} (t={t}, ci={ci}) — "
+        f"spatial size must have a multiple-of-8 divisor whose slab fits "
+        f"VMEM; pad p to a multiple of 8 first")
 
 
 def _pallas_forward(x: jax.Array, w: jax.Array, interpret: bool = False):
