@@ -49,10 +49,15 @@ def test_cli_train_eval_checkpoint_resume(tmp_path):
     summary2 = _run(tmp_path, extra=["--resume", ckpts[0], "--n_epochs", "2"])
     assert "best_accuracy" in summary2
 
-    # evaluation-only mode loads the checkpoint and skips training
+    # evaluation-only mode loads the checkpoint and skips training — and is
+    # READ-ONLY: it must not write a checkpoint as a side effect of the
+    # save-best path (accuracy is still tracked in the summary)
     summary3 = _run(tmp_path, extra=["--evaluate", "--weights", ckpts[0]])
     assert "loss" not in summary3
     assert 0 <= summary3["synthetic_test_accuracy"] <= 100
+    assert summary3["best_accuracy"] == summary3["synthetic_test_accuracy"]
+    assert not glob.glob(str(tmp_path / "**" / "evaluation" / "*.npz"),
+                         recursive=True)
 
     # fused multi-step dispatch: same run with --steps_per_call 2 exercises
     # the pending/flush/stack trainer path (incl. the odd-tail single-step

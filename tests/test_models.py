@@ -231,6 +231,18 @@ def test_get_network_routing():
         pass
 
 
+def test_remat_warns_when_inapplicable(capsys):
+    """--remat only rematerializes the VideoResNet families; on C3D the
+    knob must say so instead of being silently dropped (a user chasing an
+    HBM OOM needs the signal)."""
+    m = get_network(Config(network="c3d", remat="full"))
+    assert "has no effect" in capsys.readouterr().err
+    assert m.head == "c3d"
+    m2 = get_network(Config(network="r3d_18", remat="convs"))
+    assert capsys.readouterr().err == ""
+    assert m2.backbone.remat == "convs"
+
+
 def test_bf16_forward_runs():
     model = get_network(Config(network="r2plus1d_18"))
     params, state = jax.jit(model.init)(jax.random.PRNGKey(0))

@@ -33,6 +33,20 @@ def test_mesh_shapes():
     assert mesh2.shape["data"] == 4 and mesh2.shape["model"] == 2
 
 
+def test_mesh_rejects_nondividing_and_wrong_totals():
+    """A fixed axis that does not divide the device count must be a clear
+    error, not silently idle the remainder (--tp 3 on 8 chips used to run
+    at 75% capacity with no signal); an explicit wrong total errors too."""
+    import pytest
+
+    with pytest.raises(ValueError, match="does not divide"):
+        make_mesh((-1, 3), ("data", "model"))  # 3 does not divide 8
+    with pytest.raises(ValueError, match="needs 4 devices"):
+        make_mesh((2, 2), ("data", "model"), devices=jax.devices()[:2])
+    with pytest.raises(ValueError, match="needs 2 devices"):
+        make_mesh((2,), ("data",))  # silent 2-of-8 subset is refused
+
+
 def test_dp_matches_single_device(rng):
     """Loss and gradients with the batch sharded over 8 devices must match the
     unsharded computation (global-batch semantics). Params after an *Adam*

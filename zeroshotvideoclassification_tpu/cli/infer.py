@@ -98,9 +98,10 @@ def build_scoring_state(network: str, head: str, weights: Optional[str],
     else:
         print("WARNING: no --weights; scoring a random-init model",
               file=sys.stderr)
-    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
-        config.compute_dtype]
-    return model, state, make_eval_step(model, compute_dtype=dtype)
+    from zeroshotvideoclassification_tpu.config import compute_jnp_dtype
+
+    return model, state, make_eval_step(
+        model, compute_dtype=compute_jnp_dtype(config.compute_dtype))
 
 
 def classify_videos(

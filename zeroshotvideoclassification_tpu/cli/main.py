@@ -60,7 +60,9 @@ from zeroshotvideoclassification_tpu.utils.logging import (
 
 
 def _dtype(config: Config):
-    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[config.compute_dtype]
+    from zeroshotvideoclassification_tpu.config import compute_jnp_dtype
+
+    return compute_jnp_dtype(config.compute_dtype)
 
 
 def _transform_dtype(config: Config):
@@ -302,7 +304,15 @@ class Experiment:
             # memory per sample doubles vs a video clip; halved here at
             # per-device granularity (shardability), same intent
             global_bs = max(cfg.bs // 2, 1) * self.mesh.shape.get("data", 1)
-            local_bs = global_bs // jax.process_count()
+            pc = jax.process_count()
+            if global_bs % pc:
+                # mirror __init__'s check: the halved image batch must also
+                # shard evenly, else local_bs silently truncates to 0 or an
+                # uneven per-process shard breaks global-array stitching
+                raise ValueError(
+                    f"halved image-train global batch {global_bs} not "
+                    f"divisible by process_count {pc}; adjust --bs")
+            local_bs = global_bs // pc
         # each process pipelines only its lockstep-padded table shard
         # (identity when single-process)
         pipe = HostPipeline(shard_table(table), cfg, local_bs,
@@ -412,7 +422,12 @@ class Experiment:
                             os.path.join(
                                 sdir, f"samples_train_epoch{epoch}_"),
                             classes=(table.classes if host.label[0] >= 0
-                                     else None))
+                                     else None),
+                            # SUN image batches normalize with Kinetics
+                            # mean/std, not the video chain — inverting
+                            # with the wrong mode dumps clipped garbage
+                            mode=("meanstd" if host.image_mode
+                                  else "active"))
                     except Exception as e:  # noqa: BLE001
                         # a debug dump must not kill the training run —
                         # not for a missing imageio extra, and not for a
@@ -547,7 +562,12 @@ class Experiment:
                 accuracies.append(r["accuracy"])
                 summary[f"{table.name}_accuracy"] = r["accuracy"]
             mean_acc = float(np.mean(accuracies)) if accuracies else 0.0
-            save_best = mean_acc > self.best_acc
+            improved = mean_acc > self.best_acc
+            # --evaluate is read-only: without the gate an eval-only run
+            # would fetch the full train state cross-host and write a
+            # checkpoint.npz under /evaluation as a side effect (the
+            # accuracy is still tracked/reported, just never written)
+            save_best = improved and not cfg.evaluate
             save_last = (cfg.checkpoint_every and not cfg.evaluate
                          and (epoch + 1) % cfg.checkpoint_every == 0)
             if save_best or save_last:
@@ -563,11 +583,11 @@ class Experiment:
                 )
 
                 state_host = jax.tree.map(fetch_global, self.state)
-            if save_best:
-                if jax.process_index() == 0:
-                    self._ckpt_writer().submit(
-                        os.path.join(self.savename, "checkpoint.npz"),
-                        state_host, epoch, mean_acc, cfg.to_json())
+            if save_best and jax.process_index() == 0:
+                self._ckpt_writer().submit(
+                    os.path.join(self.savename, "checkpoint.npz"),
+                    state_host, epoch, mean_acc, cfg.to_json())
+            if improved:
                 self.best_acc = mean_acc
             if save_last and jax.process_index() == 0:
                 # periodic full-state checkpoint for preemption recovery

@@ -191,6 +191,20 @@ class Config:
         return Config(**{k: v for k, v in d.items() if k in known})
 
 
+def compute_jnp_dtype(name: str):
+    """Map a --compute_dtype name to its jnp dtype — the ONE lookup shared
+    by the trainer and the inference/serving CLIs, so they cannot drift on
+    which names they accept. Import of jax is deferred (config parsing must
+    not initialize a backend)."""
+    import jax.numpy as jnp
+
+    try:
+        return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+    except KeyError:
+        raise ValueError(f"unsupported --compute_dtype {name!r} "
+                         f"(choose bfloat16 or float32)") from None
+
+
 def build_arg_parser() -> argparse.ArgumentParser:
     """CLI with the exact flags of /root/reference/main.py:22-55 plus TPU extras."""
     p = argparse.ArgumentParser(description="TPU-native zero-shot video classification")

@@ -144,6 +144,15 @@ def get_network(config) -> ZeroShotModel:
     if remat and isinstance(backbone, VideoResNet):
         backbone = dataclasses.replace(
             backbone, remat="convs" if remat == "convs" else "full")
+    elif remat and str(remat) != "none":
+        # the knob must not be silently dropped: a user chasing an HBM OOM
+        # needs to know rematerialization is only implemented for the
+        # VideoResNet families (C3D is the pretrained-only legacy net)
+        import sys
+
+        print(f"WARNING: --remat {remat} has no effect on {name!r} "
+              f"(only the VideoResNet backbones rematerialize)",
+              file=sys.stderr)
     if head == "linear":
         dropout = 0.05
     return ZeroShotModel(

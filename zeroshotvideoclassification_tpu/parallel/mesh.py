@@ -14,15 +14,30 @@ def make_mesh(
     axes: Sequence[str] = ("data",),
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Build a device mesh; -1 in `shape` absorbs the remaining devices."""
+    """Build a device mesh; -1 in `shape` absorbs the remaining devices.
+
+    Every available device must be used: a fixed axis that does not divide
+    the device count used to silently DROP the remainder (e.g. --tp 3 on 8
+    chips idled 2 of them with no signal), and an oversized axis crashed
+    inside np.reshape with an opaque message. Both are clear errors now;
+    pass `devices` explicitly to run on a deliberate subset."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     shape = list(shape)
     if -1 in shape:
         known = int(np.prod([s for s in shape if s != -1]))
-        shape[shape.index(-1)] = max(n // max(known, 1), 1)
+        if known <= 0 or n % known:
+            raise ValueError(
+                f"mesh shape {tuple(shape)} over axes {tuple(axes)}: the "
+                f"fixed axes multiply to {known}, which does not divide "
+                f"the {n} available devices — the remainder would sit idle")
+        shape[shape.index(-1)] = n // known
     total = int(np.prod(shape))
-    dev_array = np.asarray(devices[:total]).reshape(shape)
+    if total != n:
+        raise ValueError(
+            f"mesh shape {tuple(shape)} needs {total} devices but {n} are "
+            f"available; pass devices= explicitly to use a subset")
+    dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, tuple(axes))
 
 
