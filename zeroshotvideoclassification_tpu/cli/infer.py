@@ -62,7 +62,6 @@ def build_scoring_state(network: str, head: str, weights: Optional[str],
     least one tensor; other errors propagate — silently scoring a
     random-init model is the failure mode the strict path prevents."""
     import jax
-    import jax.numpy as jnp
 
     from zeroshotvideoclassification_tpu.models import get_network
     from zeroshotvideoclassification_tpu.train import (

@@ -147,6 +147,10 @@ class Experiment:
                 f"global batch {self.global_bs} not divisible by "
                 f"process_count {pc}; adjust --bs")
         self.local_bs = self.global_bs // pc
+        train_tables = datasets.get("training") or []
+        if (train_tables and train_tables[0].loader == "image"
+                and config.class_total != 0):
+            self._image_train_batch()  # fail at construction, not epoch 1
         self.model = get_network(config)
         self.optimizer = make_optimizer(config.lr)
         self.lr_at = multistep_lr(config.lr, config.n_epochs)
@@ -298,21 +302,7 @@ class Experiment:
         table = self.datasets["training"][0]
         global_bs, local_bs = self.global_bs, self.local_bs
         if table.loader == "image" and cfg.class_total != 0:
-            # reference halves the image-train batch (dataset.py:26:
-            # `opt.bs // 2 if ... 'image' in opt.dataset ...`) — each SUN
-            # sample inflates to n_clips*clip_len synthetic frames, so the
-            # memory per sample doubles vs a video clip; halved here at
-            # per-device granularity (shardability), same intent
-            global_bs = max(cfg.bs // 2, 1) * self.mesh.shape.get("data", 1)
-            pc = jax.process_count()
-            if global_bs % pc:
-                # mirror __init__'s check: the halved image batch must also
-                # shard evenly, else local_bs silently truncates to 0 or an
-                # uneven per-process shard breaks global-array stitching
-                raise ValueError(
-                    f"halved image-train global batch {global_bs} not "
-                    f"divisible by process_count {pc}; adjust --bs")
-            local_bs = global_bs // pc
+            global_bs, local_bs = self._image_train_batch()
         # each process pipelines only its lockstep-padded table shard
         # (identity when single-process)
         pipe = HostPipeline(shard_table(table), cfg, local_bs,
@@ -463,6 +453,26 @@ class Experiment:
                clips / max(total_t, 1e-9)))
         return {"loss": loss, "train_accuracy": acc,
                 "clips_per_sec": clips / max(total_t, 1e-9)}
+
+    def _image_train_batch(self):
+        """(global_bs, local_bs) of the halved SUN image-train batch.
+
+        The reference halves the image-train batch (dataset.py:26:
+        `opt.bs // 2 if ... 'image' in opt.dataset ...`) — each SUN sample
+        inflates to n_clips*clip_len synthetic frames, so memory per sample
+        doubles vs a video clip; halved here at per-device granularity
+        (shardability), same intent. Validated once at __init__: the halved
+        batch must also shard evenly across processes, else local_bs
+        silently truncates to 0 or uneven per-process shards break
+        global-array stitching."""
+        global_bs = max(self.config.bs // 2, 1) * self.mesh.shape.get(
+            "data", 1)
+        pc = jax.process_count()
+        if global_bs % pc:
+            raise ValueError(
+                f"halved image-train global batch {global_bs} not "
+                f"divisible by process_count {pc}; adjust --bs")
+        return global_bs, global_bs // pc
 
     # -------------------------------------------------------------- eval ----
     def evaluate(self, table: VideoTable, epoch: int) -> Dict[str, float]:

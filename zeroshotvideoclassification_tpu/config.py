@@ -201,7 +201,7 @@ def compute_jnp_dtype(name: str):
     try:
         return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
     except KeyError:
-        raise ValueError(f"unsupported --compute_dtype {name!r} "
+        raise ValueError(f"unsupported dtype name {name!r} "
                          f"(choose bfloat16 or float32)") from None
 
 

@@ -424,12 +424,12 @@ def transform_out_dtype(config):
     conv casts x to the compute dtype anyway, so only WHERE the f32->bf16
     rounding happens moves — while halving the transform's HBM write and
     the stem's activation read (Config.transform_dtype)."""
-    import jax.numpy as jnp
+    from zeroshotvideoclassification_tpu.config import compute_jnp_dtype
 
     name = getattr(config, "transform_dtype", "auto")
     if name == "auto":
         name = getattr(config, "compute_dtype", "float32")
-    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+    return compute_jnp_dtype(name)
 
 
 def device_batch(host_batch: HostBatch, n_clips: int, clip_len: int,

@@ -141,10 +141,13 @@ def get_network(config) -> ZeroShotModel:
     else:
         raise ValueError(f"Network {name!r} not available!")
     remat = getattr(config, "remat", False)
+    if str(remat) in ("False", "none", ""):
+        remat = False  # normalize 'none' BEFORE branching: the VideoResNet
+        # branch would otherwise map a truthy 'none' to remat='full'
     if remat and isinstance(backbone, VideoResNet):
         backbone = dataclasses.replace(
             backbone, remat="convs" if remat == "convs" else "full")
-    elif remat and str(remat) != "none":
+    elif remat:
         # the knob must not be silently dropped: a user chasing an HBM OOM
         # needs to know rematerialization is only implemented for the
         # VideoResNet families (C3D is the pretrained-only legacy net)

@@ -24,6 +24,9 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     shape = list(shape)
+    if shape.count(-1) > 1:
+        raise ValueError(f"mesh shape {tuple(shape)}: at most one axis "
+                         f"may be -1")
     if -1 in shape:
         known = int(np.prod([s for s in shape if s != -1]))
         if known <= 0 or n % known:
