@@ -89,7 +89,16 @@ def extract_embeddings(
     `sync_tag` (unique per call site) barrier-aligns processes right before
     the FIRST dispatch: the eval executable's first run opens fresh device
     communicators, and per-host decode-time skew must not eat their connect
-    window."""
+    window.
+
+    One-batch lookahead: batch k+1 is DISPATCHED before batch k's result is
+    fetched. JAX dispatch is async, but the result fetch blocks — without
+    the lookahead the device sits idle through every inter-batch host gap
+    (generator next() = H2D upload + transform dispatch; decode itself is
+    already prefetched by HostPipeline). Costs one extra in-flight batch of
+    device memory; eval holds no activations, so that is cheap. Results are
+    collected strictly in order, and under multi-host every process runs
+    the same dispatch/fetch sequence, so collective order is preserved."""
     import jax
 
     from zeroshotvideoclassification_tpu.parallel.multihost import (
@@ -99,26 +108,32 @@ def extract_embeddings(
 
     preds, trues, labels = [], [], []
     multi = jax.process_count() > 1
-    first = True
-    for batch in batches:
-        if first and sync_tag:
-            sync_processes(sync_tag)
-        first = False
-        emb = eval_step(params, model_state, batch["x"])
-        if multi:
-            import jax.numpy as jnp
 
-            d = emb.shape[-1]
-            packed = fetch_global(jnp.concatenate(
-                [emb.astype(jnp.float32),
-                 batch["z"].astype(jnp.float32),
-                 batch["weight"].astype(jnp.float32)[:, None],
-                 batch["label"].astype(jnp.float32)[:, None]], axis=1))
+    def dispatch(batch):
+        """Enqueue the step (and the multi-host pack) without blocking."""
+        emb = eval_step(params, model_state, batch["x"])
+        if not multi:
+            return emb, batch
+        import jax.numpy as jnp
+
+        packed_dev = jnp.concatenate(
+            [emb.astype(jnp.float32),
+             batch["z"].astype(jnp.float32),
+             batch["weight"].astype(jnp.float32)[:, None],
+             batch["label"].astype(jnp.float32)[:, None]], axis=1)
+        return packed_dev, batch
+
+    def collect(pending):
+        """Blocking fetch + host-side accumulation (in submission order)."""
+        dev, batch = pending
+        if multi:
+            d = dev.shape[1] // 2 - 1
+            packed = fetch_global(dev)
             emb_h, z_h = packed[:, :d], packed[:, d:2 * d]
             w_h = packed[:, 2 * d]
             lab_h = packed[:, 2 * d + 1].astype(np.int64)
         else:
-            emb_h = np.asarray(emb)
+            emb_h = np.asarray(dev)
             z_h = np.asarray(batch["z"])
             w_h = np.asarray(batch["weight"])
             lab_h = np.asarray(batch["label"])
@@ -126,6 +141,19 @@ def extract_embeddings(
         preds.append(emb_h[keep])
         trues.append(z_h[keep])
         labels.append(lab_h[keep])
+
+    first = True
+    pending = None
+    for batch in batches:
+        if first and sync_tag:
+            sync_processes(sync_tag)
+        first = False
+        cur = dispatch(batch)
+        if pending is not None:
+            collect(pending)
+        pending = cur
+    if pending is not None:
+        collect(pending)
     return (
         np.concatenate(preds, axis=0),
         np.concatenate(trues, axis=0),
