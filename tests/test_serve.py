@@ -130,19 +130,29 @@ def test_serve_cli_sigterm_graceful_exit():
         [sys.executable, "-c", code], stdout=subprocess.PIPE,
         stderr=subprocess.PIPE, text=True)
     try:
-        deadline = time.monotonic() + 300
+        # serve_forever prints 'listening on ...' only AFTER the SIGTERM
+        # handler is installed, so waiting for it removes the race where an
+        # early signal hits the default disposition (rc=-15). Read stderr
+        # on a thread: a bare readline() would block past any deadline if
+        # the child stalled without closing the pipe.
+        ready = threading.Event()
         lines = []
-        while time.monotonic() < deadline:  # wait for the server banner
-            line = proc.stderr.readline()
-            lines.append(line)
-            if line.startswith("serving "):
-                break
-            if line == "" and proc.poll() is not None:
+
+        def watch_stderr():
+            for line in proc.stderr:
+                lines.append(line)
+                if line.startswith("listening on"):
+                    ready.set()
+
+        watcher = threading.Thread(target=watch_stderr, daemon=True)
+        watcher.start()
+        deadline = time.monotonic() + 300
+        while not ready.is_set() and time.monotonic() < deadline:
+            if proc.poll() is not None:
                 raise AssertionError(
                     f"server died rc={proc.returncode}: {lines}")
-        else:
-            raise AssertionError(f"server never came up: {lines}")
-        time.sleep(2.0)  # bind + signal handler install happen right after
+            time.sleep(0.1)
+        assert ready.is_set(), f"server never came up: {lines}"
         proc.send_signal(signal.SIGTERM)
         out, err = proc.communicate(timeout=120)
         assert proc.returncode == 0, (out, err)
@@ -150,6 +160,13 @@ def test_serve_cli_sigterm_graceful_exit():
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_batcher_rejects_unbounded_pipeline():
+    """stage2 with pipeline_depth < 1 would build a Queue(maxsize=0) —
+    UNBOUNDED in Python, the opposite of the documented backpressure."""
+    with pytest.raises(ValueError, match="pipeline_depth"):
+        MicroBatcher(lambda i: list(i), stage2=lambda m: m, pipeline_depth=0)
 
 
 def test_service_wait_inflight_blocks_until_responses_written():
@@ -341,6 +358,7 @@ def serving(tmp_path_factory):
            "tmp": str(tmp), "port": server.server_address[1]}
     server.shutdown()
     service.close()
+    engine.close()  # the decode pool's workers are non-daemon threads
 
 
 def test_engine_matches_oneshot_cli(serving):
@@ -401,6 +419,7 @@ def test_bucketed_dispatch_shapes(serving):
     engine.classify([serving["paths"][0]])
     assert engine.bucket_dispatches == {8: 1, 16: 0}
     assert engine.stats()["batch_buckets"] == {"8": 1, "16": 0}
+    engine.close()
     # the module fixture's max_batch=4 collapses the ladder to one bucket,
     # rounded up to tile the data mesh axis (8 virtual devices under tests)
     fixture_engine = serving["engine"]
@@ -448,6 +467,7 @@ def test_engine_warmup_compiles_ladder_without_counting(serving):
     # post-warmup requests still work and count normally
     engine.classify([serving["paths"][0]])
     assert engine.bucket_dispatches == {8: 1, 16: 0}
+    engine.close()
     # warmup survives a ladder whose smallest bucket exceeds max_batch
     # (rounded up to tile the mesh): the fixture engine has max_batch=4
     before = dict(serving["engine"].bucket_dispatches)
@@ -579,6 +599,7 @@ def test_reload_hot_swaps_weights(serving, tmp_path):
     assert engine.stats()["weights"] == ckpt
     again, _ = engine.embed_paths([serving["paths"][0]])
     assert np.allclose(after, again)
+    engine.close()
 
 
 def test_reload_endpoint_confined_by_data_root(serving):
@@ -664,6 +685,7 @@ def test_reload_swap_is_atomic_under_concurrent_classify(serving, tmp_path):
     for e in embs:  # old or new scoring, never a torn mixture
         assert np.allclose(e, before, atol=1e-5) or \
             np.allclose(e, after, atol=1e-5)
+    engine.close()
 
 
 def test_reload_endpoint_refuses_bad_weights(serving, tmp_path):

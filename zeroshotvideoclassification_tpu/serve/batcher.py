@@ -47,6 +47,12 @@ class MicroBatcher:
         stages (backpressure caps host-side lookahead memory)."""
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
+        if stage2 is not None and pipeline_depth < 1:
+            # Queue(maxsize=0) means UNBOUNDED in Python — the opposite of
+            # the backpressure this parameter documents; 'no pipelining'
+            # is expressed by not passing stage2 (ZeroShotService does so)
+            raise ValueError("pipeline_depth must be >= 1 when stage2 is "
+                             "set (omit stage2 to disable pipelining)")
         self.process_batch = process_batch
         self.stage2 = stage2
         self.max_batch = max_batch

@@ -109,6 +109,13 @@ class InferenceEngine:
 
         self._decode_pool = cf.ThreadPoolExecutor(
             max_workers=self.config.decode_workers or (os.cpu_count() or 1))
+        # counters have multiple writer threads (an engine may back several
+        # services / concurrent embed_paths callers): unsynchronized += on
+        # them loses increments and corrupts what /stats exists to report
+        import threading
+
+        self._stats_lock = threading.Lock()
+        self._warmup_active = False
         self.n_dispatches = 0
         self.device_seconds = 0.0
 
@@ -179,9 +186,11 @@ class InferenceEngine:
         t0 = time.perf_counter()
         out = self.eval_step(params, model_state, batch["x"])
         out = np.asarray(jax.device_get(out))
-        self.device_seconds += time.perf_counter() - t0
-        self.n_dispatches += 1
-        self.bucket_dispatches[packed["bucket"]] += 1
+        if not self._warmup_active:  # warmup dispatches stay out of /stats
+            with self._stats_lock:
+                self.device_seconds += time.perf_counter() - t0
+                self.n_dispatches += 1
+                self.bucket_dispatches[packed["bucket"]] += 1
         # decode success is a HOST fact (weight-0 convention is set at pack
         # time and passes through the device untouched) — reading it from
         # the host batch saves a device fetch per dispatch
@@ -252,18 +261,22 @@ class InferenceEngine:
         request behind a full compile. Nonexistent paths ride the decode-
         failure (weight-0 padding) convention, so each bucket shape runs
         the real pack -> transform -> forward program with no assets.
-        Warmup dispatches are excluded from the stats counters."""
-        counters = (self.n_dispatches, self.device_seconds,
-                    dict(self.bucket_dispatches))
-        for b in self.batch_buckets:
-            # a bucket can exceed max_batch (the ladder rounds up to tile
-            # the mesh); cap the fill — smallest-fit still selects bucket b.
-            # classify (not embed_paths) so the bucket-padded ranking matmul
-            # compiles here too, not on the first live request.
-            self.classify(["/nonexistent/__warmup__.npy"]
-                          * min(b, self.max_batch))
-        self.n_dispatches, self.device_seconds = counters[0], counters[1]
-        self.bucket_dispatches = counters[2]
+        Warmup dispatches are excluded from the stats counters via a flag
+        consulted at count time (a snapshot/restore would lose the counts
+        of live requests racing a warm-up, and would leak partial warmup
+        counts if a bucket's compile raised)."""
+        self._warmup_active = True
+        try:
+            for b in self.batch_buckets:
+                # a bucket can exceed max_batch (the ladder rounds up to
+                # tile the mesh); cap the fill — smallest-fit still selects
+                # bucket b. classify (not embed_paths) so the bucket-padded
+                # ranking matmul compiles here too, not on the first live
+                # request.
+                self.classify(["/nonexistent/__warmup__.npy"]
+                              * min(b, self.max_batch))
+        finally:
+            self._warmup_active = False
 
     # ----------------------------------------------------------- classify ---
     def classify_packed(self, packed) -> List[dict]:
@@ -318,13 +331,14 @@ class InferenceEngine:
         return results
 
     def stats(self) -> dict:
-        return {
-            "dispatches": self.n_dispatches,
-            "device_seconds": round(self.device_seconds, 3),
-            "max_batch": self.max_batch,
-            "data_shards": self.n_shards,
-            "batch_buckets": {str(b): c
-                              for b, c in self.bucket_dispatches.items()},
-            "classes": len(self.class_names),
-            "weights": self.weights_path,
-        }
+        with self._stats_lock:  # one consistent snapshot across counters
+            return {
+                "dispatches": self.n_dispatches,
+                "device_seconds": round(self.device_seconds, 3),
+                "max_batch": self.max_batch,
+                "data_shards": self.n_shards,
+                "batch_buckets": {str(b): c
+                                  for b, c in self.bucket_dispatches.items()},
+                "classes": len(self.class_names),
+                "weights": self.weights_path,
+            }

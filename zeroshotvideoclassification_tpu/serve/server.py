@@ -276,6 +276,14 @@ def serve_forever(engine: InferenceEngine, host: str = "127.0.0.1",
             target=server.shutdown, daemon=True).start())
     if ready_event is not None:
         ready_event.set()
+    # printed AFTER the signal handler is installed, with the RESOLVED
+    # address (with port 0 the configured port says nothing): operational
+    # readiness marker — a supervisor that SIGTERMs before this line could
+    # otherwise hit the default disposition, and scripts need the real port
+    import sys
+
+    print(f"listening on http://{host}:{server.server_address[1]}",
+          file=sys.stderr, flush=True)
     try:
         server.serve_forever()
     finally:
