@@ -190,34 +190,101 @@ def batchnorm_apply(
     correct than the reference's per-GPU DataParallel statistics.
     """
     xf = x.astype(jnp.float32)
-    axes = tuple(range(x.ndim - 1))
-    if train:
-        # One-pass statistics: E[s] and E[s^2] are independent reductions, so
-        # XLA fuses them into a SINGLE read of the activation. The two-pass
-        # centered form (mean first, then E[(x-mean)^2]) costs a second full
-        # HBM pass per BN — profiled at ~half the whole train step's time on
-        # this conv-light/BN-heavy net (convert_reduce fusions, see ROADMAP).
-        # Shifting by the RUNNING mean first (s = x - m0, fuses into the same
-        # read) removes the E[x^2]-E[x]^2 catastrophic-cancellation risk for
-        # large-DC-offset activations: the residual mean E[s] is near zero
-        # once running stats warm up, so the subtraction loses no precision.
-        m0 = state["mean"]
-        s_mean = jnp.mean(xf - m0, axis=axes)
-        s_sq = jnp.mean(jnp.square(xf - m0), axis=axes)
-        mean = s_mean + m0
-        var = jnp.maximum(s_sq - jnp.square(s_mean), 0.0)
-        count = float(np.prod([x.shape[a] for a in axes]))
-        unbiased = var * (count / max(count - 1.0, 1.0))
-        new_state = {
-            "mean": (1 - momentum) * state["mean"] + momentum * mean,
-            "var": (1 - momentum) * state["var"] + momentum * unbiased,
-        }
-    else:
-        mean, var = state["mean"], state["var"]
-        new_state = state
+    mean, var, new_state = bn_statistics(state, xf, train, momentum)
     inv = jax.lax.rsqrt(var + eps) * params["scale"]
     y = (xf - mean) * inv + params["bias"]
     return y.astype(compute_dtype), new_state
+
+
+def bn_statistics(state, xf: jax.Array, train: bool, momentum: float = 0.1):
+    """(mean, var, new_state) — the statistics half of batchnorm_apply.
+
+    One-pass statistics: E[s] and E[s^2] are independent reductions, so
+    XLA fuses them into a SINGLE read of the activation. The two-pass
+    centered form (mean first, then E[(x-mean)^2]) costs a second full
+    HBM pass per BN — profiled at ~half the whole train step's time on
+    this conv-light/BN-heavy net (convert_reduce fusions, see ROADMAP).
+    Shifting by the RUNNING mean first (s = x - m0, fuses into the same
+    read) removes the E[x^2]-E[x]^2 catastrophic-cancellation risk for
+    large-DC-offset activations: the residual mean E[s] is near zero
+    once running stats warm up, so the subtraction loses no precision."""
+    axes = tuple(range(xf.ndim - 1))
+    if not train:
+        return state["mean"], state["var"], state
+    m0 = state["mean"]
+    s_mean = jnp.mean(xf - m0, axis=axes)
+    s_sq = jnp.mean(jnp.square(xf - m0), axis=axes)
+    mean = s_mean + m0
+    var = jnp.maximum(s_sq - jnp.square(s_mean), 0.0)
+    count = float(np.prod([xf.shape[a] for a in axes]))
+    unbiased = var * (count / max(count - 1.0, 1.0))
+    new_state = {
+        "mean": (1 - momentum) * state["mean"] + momentum * mean,
+        "var": (1 - momentum) * state["var"] + momentum * unbiased,
+    }
+    return mean, var, new_state
+
+
+def _use_pallas_bn(x) -> bool:
+    """Opt-in gate for the fused Pallas BN epilogue (ZSVC_PALLAS_BN=1).
+
+    Single-device only: a pallas_call inside a jit spanning a >1-device mesh
+    cannot be auto-partitioned (the sharded transform kernel goes through
+    shard_map instead, data/pipeline.py). Default OFF — the A/B
+    (scripts/ab_bn_pallas.py) adjudicates it on the chip."""
+    import os
+
+    if os.environ.get("ZSVC_PALLAS_BN", "0") != "1":
+        return False
+    import jax as _jax
+
+    if _jax.device_count() != 1:
+        return False
+    from zeroshotvideoclassification_tpu.ops import bn_pallas
+
+    return bn_pallas.eligible(x)
+
+
+def batchnorm_relu(
+    params,
+    state,
+    x: jax.Array,
+    train: bool,
+    residual: Optional[jax.Array] = None,
+    relu_after: bool = True,
+    momentum: float = 0.1,
+    eps: float = 1e-5,
+    compute_dtype=jnp.bfloat16,
+):
+    """BN apply (+ residual add) (+ ReLU) — the block epilogue as ONE call.
+
+    Default path composes batchnorm_apply + add + relu exactly as the blocks
+    always did (bit-identical). Under ZSVC_PALLAS_BN=1 the epilogue runs as
+    the fused lane-flattened Pallas kernel (ops/bn_pallas.py); its internal
+    math is f32 end-to-end, so under bf16 compute the residual add rounds
+    once instead of twice (tests bound the delta). Returns (y, new_state)."""
+    if _use_pallas_bn(x):
+        from zeroshotvideoclassification_tpu.ops.bn_pallas import (
+            bn_apply_relu_pallas,
+        )
+
+        # statistics stay on the jnp path (they fuse into the producing
+        # conv's output read); only the apply/epilogue moves into Pallas
+        mean, var, new_state = bn_statistics(
+            state, x.astype(jnp.float32), train, momentum)
+        xc = x.astype(compute_dtype)
+        res = None if residual is None else residual.astype(compute_dtype)
+        y = bn_apply_relu_pallas(xc, params["scale"], params["bias"],
+                                 mean, var, res, relu_after, eps)
+        return y, new_state
+
+    y, new_state = batchnorm_apply(params, state, x, train, momentum, eps,
+                                   compute_dtype)
+    if residual is not None:
+        y = y + residual
+    if relu_after:
+        y = relu(y)
+    return y, new_state
 
 
 # ---------------------------------------------------------------- linear ----

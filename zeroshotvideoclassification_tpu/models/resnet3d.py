@@ -66,9 +66,8 @@ def _conv_apply(kind: str, params, state, x, stride: int, train: bool, dtype):
         )
     if kind == TWO_PLUS_ONE:
         y = L.conv3d(x, params["conv_s"], (1, stride, stride), (0, 1, 1), dtype)
-        y, bn_s = L.batchnorm_apply(params["bn_m"], state["bn_m"], y, train,
-                                    compute_dtype=dtype)
-        y = L.relu(y)
+        y, bn_s = L.batchnorm_relu(params["bn_m"], state["bn_m"], y, train,
+                                   compute_dtype=dtype)
         y = L.conv3d(y, params["conv_t"], (stride, 1, 1), (1, 0, 0), dtype)
         return y, {"bn_m": bn_s}
     raise ValueError(kind)
@@ -115,13 +114,10 @@ def _block_apply(kind, params, state, x, stride, train, dtype):
     new_state = {}
     out, new_state["conv1"] = _conv_apply(
         kind, params["conv1"], state["conv1"], x, stride, train, dtype)
-    out, new_state["bn1"] = L.batchnorm_apply(
+    out, new_state["bn1"] = L.batchnorm_relu(
         params["bn1"], state["bn1"], out, train, compute_dtype=dtype)
-    out = L.relu(out)
     out, new_state["conv2"] = _conv_apply(
         kind, params["conv2"], state["conv2"], out, 1, train, dtype)
-    out, new_state["bn2"] = L.batchnorm_apply(
-        params["bn2"], state["bn2"], out, train, compute_dtype=dtype)
     if "downsample" in params:
         res = L.conv3d(x, params["downsample"]["conv"],
                        _downsample_stride(kind, stride), (0, 0, 0), dtype)
@@ -131,7 +127,11 @@ def _block_apply(kind, params, state, x, stride, train, dtype):
         new_state["downsample"] = {"bn": ds_bn}
     else:
         res = x
-    return L.relu(out + res), new_state
+    # relu(bn2(out) + res): the block epilogue, fused when ZSVC_PALLAS_BN=1
+    out, new_state["bn2"] = L.batchnorm_relu(
+        params["bn2"], state["bn2"], out, train, residual=res,
+        compute_dtype=dtype)
+    return out, new_state
 
 
 # ----------------------------------------------------------------- stems ----
@@ -173,17 +173,16 @@ def _stem_apply(kind, params, state, x, train, dtype):
     new_state = {}
     if kind == "r2plus1d":
         y = _stem_conv1(params, x, 0, dtype)
-        y, new_state["bn1"] = L.batchnorm_apply(
+        y, new_state["bn1"] = L.batchnorm_relu(
             params["bn1"], state["bn1"], y, train, compute_dtype=dtype)
-        y = L.relu(y)
         y = L.conv3d(y, params["conv2"], (1, 1, 1), (1, 0, 0), dtype)
-        y, new_state["bn2"] = L.batchnorm_apply(
+        y, new_state["bn2"] = L.batchnorm_relu(
             params["bn2"], state["bn2"], y, train, compute_dtype=dtype)
-        return L.relu(y), new_state
+        return y, new_state
     y = _stem_conv1(params, x, 1, dtype)
-    y, new_state["bn1"] = L.batchnorm_apply(
+    y, new_state["bn1"] = L.batchnorm_relu(
         params["bn1"], state["bn1"], y, train, compute_dtype=dtype)
-    return L.relu(y), new_state
+    return y, new_state
 
 
 # ------------------------------------------------------------- the model ----
