@@ -39,7 +39,7 @@ def run_one(bs, clip_len, extra, steps, timeout):
     # its retry-on-transient-outage behavior; 2 attempts keep the sweep's
     # worst case bounded while surviving one relay hiccup per config
     cmd = [sys.executable, os.path.join(ROOT, "bench.py"),
-           "--attempts", "2",
+           "--attempts", "2", "--skip_e2e",
            "--attempt_timeout", str(max(60.0, timeout / 2 - 60)),
            "--bs", str(bs), "--clip_len", str(clip_len),
            "--steps", str(steps)] + extra
@@ -67,7 +67,7 @@ def main():
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--timeout", type=float, default=2400.0)
     p.add_argument("--out", default=os.path.join(ROOT, "scripts",
-                                                 "scaling_r4.json"))
+                                                 "scaling_r5.json"))
     p.add_argument("--quick", action="store_true",
                    help="bs16 + len variants only")
     args = p.parse_args()

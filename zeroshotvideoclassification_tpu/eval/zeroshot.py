@@ -142,6 +142,11 @@ def extract_embeddings(
         trues.append(z_h[keep])
         labels.append(lab_h[keep])
 
+    # ZSVC_EVAL_LOOKAHEAD=0 collects each batch synchronously — the A/B
+    # control for measuring what the one-batch lookahead buys end to end
+    import os
+
+    lookahead = os.environ.get("ZSVC_EVAL_LOOKAHEAD", "1") != "0"
     first = True
     pending = None
     for batch in batches:
@@ -149,6 +154,9 @@ def extract_embeddings(
             sync_processes(sync_tag)
         first = False
         cur = dispatch(batch)
+        if not lookahead:
+            collect(cur)
+            continue
         if pending is not None:
             collect(pending)
         pending = cur
