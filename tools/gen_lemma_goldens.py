@@ -10,12 +10,12 @@ produced it:
 
   * with the NLTK WordNet corpus installed -> provenance "nltk-wordnet"
     (exact reference parity), and the tool additionally reports every token
-    where the embedded morphy fallback would diverge — extend
-    text/lemma.py's _VERB_LEXICON/_VERB_EXC until the diff is empty.
+    where the offline morphy fallback would diverge — fix the vendored
+    subset (tools/vendor_wordnet.py --write) until the diff is empty.
   * without the corpus (air-gapped hosts) -> provenance
-    "embedded-morphy-fallback", i.e. the committed fixture pins the
-    hand-audited fallback behavior as a regression oracle. Re-run this tool
-    the moment the corpus is installable and commit the diff (if any).
+    "vendored-wordnet-morphy-fallback": the fixture pins the fallback
+    driven by text/wordnet_verbs/{verb.exc,index.verb.lemmas}. Re-run this
+    tool the moment the corpus is installable and commit the diff (if any).
 
 Usage:  python tools/gen_lemma_goldens.py [--out tests/fixtures/lemma_goldens.json]
 """
@@ -55,7 +55,7 @@ def main(argv=None):
 
     backend = lemma._nltk_backend()
     provenance = ("nltk-wordnet" if backend is not None
-                  else "embedded-morphy-fallback")
+                  else "vendored-wordnet-morphy-fallback")
 
     goldens = {}
     for ds, path in VOCABS.items():
