@@ -1,10 +1,16 @@
 """SUN still-image camera-motion path: trajectory math + device kernel parity.
 
-Oracle: reference semantics re-derived — crop img[y:y+side, x:x+side], torch
-bilinear resize to (112,112) (half-pixel, size-ratio mapping), per-channel
-Kinetics mean/std normalization. (The reference used PIL's antialiased
-resize; the framework uses plain bilinear — a documented divergence on this
-pretraining-only path — so the oracle here uses torch non-antialiased resize.)
+Two device kernels, two oracles:
+  * plain-bilinear kernel (--no-sun_antialias): torch non-antialiased
+    bilinear resize (half-pixel, size-ratio mapping);
+  * ANTIALIASED kernel (Config.sun_antialias, the default): the reference's
+    actual semantics — torchvision Resize on a PIL image
+    (/root/reference/auxiliary/auxiliary_stillimages.py:56-62,130-134), i.e.
+    PIL's scaled-triangle-filter bilinear. Oracled twice: tight against
+    torch `interpolate(..., antialias=True)` (same float math) and loose
+    against PIL itself (PIL rounds to uint8 between the horizontal and
+    vertical passes, bounding the gap at ~1.5/255 per channel).
+Both apply per-channel Kinetics mean/std normalization.
 """
 
 import numpy as np
@@ -82,7 +88,89 @@ def test_motion_kernel_matches_oracle_on_overhanging_boxes(rng):
         np.testing.assert_allclose(out[0, f], want, atol=2e-4)
 
 
-def test_sun_pipeline_end_to_end(tmp_path, rng):
+def _aa_kernel(img_u8, traj, hw):
+    from zeroshotvideoclassification_tpu.data.stillimages import (
+        CH_OFFSET,
+        CH_SCALE,
+    )
+    from zeroshotvideoclassification_tpu.ops.resample import (
+        fused_image_motion_transform_aa,
+    )
+
+    return np.asarray(fused_image_motion_transform_aa(
+        img_u8[None], np.asarray(traj, np.int32)[None],
+        np.asarray([hw], np.int32), CH_SCALE, CH_OFFSET, crop_size=CROP))[0]
+
+
+def _oracle_frame_aa_torch(img_u8, y, x, side):
+    crop = img_u8[y:y + side, x:x + side].astype(np.float32) / 255.0
+    t = torch.from_numpy(crop).permute(2, 0, 1)[None]
+    t = F.interpolate(t, size=(CROP, CROP), mode="bilinear",
+                      align_corners=False, antialias=True)
+    return (t[0].permute(1, 2, 0).numpy() - KINETICS_MEAN) / KINETICS_STD
+
+
+def _oracle_frame_aa_pil(img_u8, y, x, side):
+    from PIL import Image
+
+    crop = img_u8[y:y + side, x:x + side]
+    r = np.asarray(Image.fromarray(crop).resize((CROP, CROP), Image.BILINEAR),
+                   np.float32) / 255.0
+    return (r - KINETICS_MEAN) / KINETICS_STD
+
+
+def test_aa_motion_kernel_matches_torch_antialias(rng):
+    """Float-exact (1e-4) agreement with torch's antialiased bilinear."""
+    img = rng.integers(0, 256, size=(384, 460, 3), dtype=np.uint8)
+    traj = camera_motion_trajectory((384, 460), CROP, 6, rng)
+    out = _aa_kernel(img, traj, (384, 460))
+    for f, (y, x, side) in enumerate(traj):
+        want = _oracle_frame_aa_torch(img, y, x, side)
+        np.testing.assert_allclose(out[f], want, atol=2e-3)
+
+
+def test_aa_motion_kernel_matches_pil(rng):
+    """PIL (the reference's actual resize) agreement within its own uint8
+    inter-pass rounding: 2/255 per channel pre-normalization."""
+    img = rng.integers(0, 256, size=(300, 512, 3), dtype=np.uint8)
+    traj = camera_motion_trajectory((300, 512), CROP, 6, rng)
+    out = _aa_kernel(img, traj, (300, 512))
+    tol = 2.0 / 255.0 / KINETICS_STD.min()
+    for f, (y, x, side) in enumerate(traj):
+        want = _oracle_frame_aa_pil(img, y, x, side)
+        assert np.abs(out[f] - want).max() < tol
+
+
+def test_aa_motion_kernel_overhanging_and_upscale(rng):
+    """The clamp-stretch quirk and the upscale degenerate case both follow
+    PIL: an overhanging box resizes only the surviving extent; a crop
+    smaller than 112 (min side in [87, 111] survives the integer-scale
+    bound) upscales with plain bilinear (PIL disables the filter scale when
+    scale < 1)."""
+    hw = (100, 400)
+    img = rng.integers(0, 256, size=(*hw, 3), dtype=np.uint8)
+    traj = np.asarray([[0, 5, 112], [0, 340, 112], [0, 10, 250]])
+    out = _aa_kernel(img, traj, hw)
+    for f, (y, x, side) in enumerate(traj):
+        want_t = _oracle_frame_aa_torch(img, y, x, side)
+        np.testing.assert_allclose(out[f], want_t, atol=2e-3)
+        want_p = _oracle_frame_aa_pil(img, y, x, side)
+        assert np.abs(out[f] - want_p).max() < 2.0 / 255.0 / KINETICS_STD.min()
+
+
+def test_aa_zero_weight_sample_is_finite():
+    """All-zero trajectory rows (broken samples) must produce finite output
+    (weight 0 masks them downstream, but NaNs would poison debug_nans)."""
+    img = np.zeros((64, 64, 3), np.uint8)
+    out = _aa_kernel(img, np.zeros((4, 3), np.int32), (64, 64))
+    assert np.isfinite(out).all()
+
+
+import pytest
+
+
+@pytest.mark.parametrize("aa", [True, False])
+def test_sun_pipeline_end_to_end(tmp_path, rng, aa):
     import cv2
 
     paths = []
@@ -100,9 +188,11 @@ def test_sun_pipeline_end_to_end(tmp_path, rng):
         label_idx=np.asarray([0, 1, 0, 1, 0], np.int32),
         classes=["a", "b"], class_embed=emb, loader="image",
         is_validation=False, n_clips=1)
-    cfg = Config(dataset="sun2both", clip_len=4, canvas_hw=(512, 512))
+    cfg = Config(dataset="sun2both", clip_len=4, canvas_hw=(512, 512),
+                 sun_antialias=aa)
     hb = next(iter(HostPipeline(table, cfg, 5, seed=0)))
     assert hb.image_mode and hb.canvas.shape == (5, 512, 512, 3)
+    assert (hb.trajectory is not None) == aa
     assert hb.weight.sum() == 4  # the missing image got weight 0
     batch = device_batch(hb, 1, 4)
     assert batch["x"].shape == (5, 1, 4, CROP, CROP, 3)

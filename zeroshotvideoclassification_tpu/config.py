@@ -42,6 +42,12 @@ class Config:
     size: int = 112               # crop size
     fixconvs: bool = False        # freeze backbone (stop_gradient)
     nopretrained: bool = False    # True => random init (reference quirk #3 made real)
+    sun_antialias: bool = True    # SUN camera-motion crop resize: True =
+                                  # PIL-parity antialiased triangle filter
+                                  # (the reference's torchvision Resize on
+                                  # PIL images, auxiliary_stillimages.py:
+                                  # 56-62,130-134); False = plain 2-tap
+                                  # half-pixel bilinear (rounds 1-4 behavior)
 
     # ---- network (reference main.py:45-46) ----
     network: str = "r2plus1d_18"  # r2plus1d_18 | r3d_18 | mc3_18 | c3d | resnet18
@@ -245,6 +251,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="write <run>/last.npz every N epochs (preemption "
                         "recovery; 0 = best-by-accuracy only)")
     p.add_argument("--debug_nans", action="store_true", default=False)
+    p.add_argument("--sun_antialias", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="SUN still-image crop resize: PIL-parity antialiased "
+                        "(default) vs plain bilinear (--no-sun_antialias)")
     # TPU extras
     p.add_argument("--compute_dtype", default=d.compute_dtype, type=str)
     p.add_argument("--transform_dtype", default=d.transform_dtype, type=str,

@@ -84,6 +84,13 @@ class HostBatch:
     label: np.ndarray
     weight: np.ndarray
     image_mode: bool = False  # SUN path: canvas [B,Hc,Wc,3], indices [B,T,S]
+    # Antialiased SUN path (Config.sun_antialias): instead of host-built
+    # 2-tap gather indices, ship the raw integer trajectory + true image
+    # sizes (~100 bytes/sample) and let the device kernel derive PIL-exact
+    # triangle-filter taps (ops.resample.fused_image_motion_transform_aa).
+    trajectory: Optional[np.ndarray] = None  # int32 [B, T, 3] (y, x, side)
+    img_hw: Optional[np.ndarray] = None      # int32 [B, 2]
+    crop_size: int = 112                     # output S (AA kernel static arg)
 
     def resample_args(self):
         return (self.canvas, self.y0, self.y1, self.wy, self.x0, self.x1, self.wx)
@@ -257,13 +264,24 @@ class HostPipeline:
         n_steps = t.n_clips * self.config.clip_len
         ch, cw = self.canvas_hw
         s = self.crop
+        aa = bool(getattr(self.config, "sun_antialias", True))
         canvas = np.zeros((b, ch, cw, 3), np.uint8)
-        y0 = np.zeros((b, n_steps, s), np.int32)
-        y1 = np.zeros_like(y0)
-        wy = np.zeros((b, n_steps, s), np.float32)
-        x0 = np.zeros_like(y0)
-        x1 = np.zeros_like(y0)
-        wx = np.zeros_like(wy)
+        if aa:
+            # device-side taps: ship only the trajectory + true sizes; the
+            # 2-tap index fields stay as 1-element dummies (HostBatch shape
+            # contract) and are never read.
+            trajectory = np.zeros((b, n_steps, 3), np.int32)
+            img_hw = np.zeros((b, 2), np.int32)
+            y0 = y1 = x0 = x1 = np.zeros((b, 1, 1), np.int32)
+            wy = wx = np.zeros((b, 1, 1), np.float32)
+        else:
+            trajectory = img_hw = None
+            y0 = np.zeros((b, n_steps, s), np.int32)
+            y1 = np.zeros_like(y0)
+            wy = np.zeros((b, n_steps, s), np.float32)
+            x0 = np.zeros_like(y0)
+            x1 = np.zeros_like(y0)
+            wx = np.zeros_like(wy)
         weight = np.zeros((b,), np.float32)
         label = np.full((b,), -1, np.int32)
         z = np.zeros((b, 300), np.float32)
@@ -273,14 +291,19 @@ class HostPipeline:
             ih, iw = img.shape[:2]
             canvas[k, :ih, :iw] = img
             traj = camera_motion_trajectory((ih, iw), s, n_steps, self._rng)
-            y0[k], y1[k], wy[k], x0[k], x1[k], wx[k] = motion_resample_indices(
-                traj, (ih, iw), s)
+            if aa:
+                trajectory[k] = traj
+                img_hw[k] = (ih, iw)
+            else:
+                y0[k], y1[k], wy[k], x0[k], x1[k], wx[k] = (
+                    motion_resample_indices(traj, (ih, iw), s))
             weight[k] = 1.0
             label[k] = labels[k]
             z[k] = t.class_embed[labels[k]]
         return HostBatch(canvas=canvas, y0=y0, y1=y1, wy=wy, x0=x0, x1=x1,
                          wx=wx, z=z, label=label, weight=weight,
-                         image_mode=True)
+                         image_mode=True, trajectory=trajectory,
+                         img_hw=img_hw, crop_size=s)
 
     def _batches(self) -> Iterator[HostBatch]:
         t = self.table
@@ -451,7 +474,21 @@ def device_batch(host_batch: HostBatch, n_clips: int, clip_len: int,
             CH_SCALE,
         )
 
-        if _use_pallas_image_motion():
+        if host_batch.trajectory is not None:
+            # Antialiased (PIL-parity) path: taps derived on device from
+            # the trajectory. Inherently a gather formulation; the Pallas
+            # MXU variant does not apply (and lost its A/B anyway, see
+            # _use_pallas_image_motion).
+            from zeroshotvideoclassification_tpu.ops.resample import (
+                fused_image_motion_transform_aa,
+            )
+
+            x = fused_image_motion_transform_aa(
+                host_batch.canvas, jnp.asarray(host_batch.trajectory),
+                jnp.asarray(host_batch.img_hw),
+                jnp.asarray(CH_SCALE), jnp.asarray(CH_OFFSET),
+                crop_size=host_batch.crop_size, **kw)
+        elif _use_pallas_image_motion():
             from zeroshotvideoclassification_tpu.ops.resample_pallas import (
                 fused_image_motion_transform_pallas,
             )
@@ -500,8 +537,12 @@ def device_batch_global(mesh, host_batch: HostBatch, n_clips: int,
     -> {'x': [B, nc, cl, S, S, 3] sharded on 'data', 'z', 'label', 'weight'}."""
     from zeroshotvideoclassification_tpu.parallel.multihost import global_batch
 
-    names = ("canvas", "y0", "y1", "wy", "x0", "x1", "wx", "z", "label",
-             "weight")
+    aa = host_batch.image_mode and host_batch.trajectory is not None
+    if aa:
+        names = ("canvas", "trajectory", "img_hw", "z", "label", "weight")
+    else:
+        names = ("canvas", "y0", "y1", "wy", "x0", "x1", "wx", "z", "label",
+                 "weight")
     g = global_batch(mesh, {k: getattr(host_batch, k) for k in names})
     kw = {}
     if out_dtype is not None:
@@ -514,7 +555,16 @@ def device_batch_global(mesh, host_batch: HostBatch, n_clips: int,
             CH_SCALE,
         )
 
-        if _use_pallas_image_motion():
+        if aa:
+            from zeroshotvideoclassification_tpu.ops.resample import (
+                fused_image_motion_transform_aa,
+            )
+
+            x = fused_image_motion_transform_aa(
+                g["canvas"], g["trajectory"], g["img_hw"],
+                jnp.asarray(CH_SCALE), jnp.asarray(CH_OFFSET),
+                crop_size=host_batch.crop_size, **kw)
+        elif _use_pallas_image_motion():
             from jax.sharding import PartitionSpec as P
 
             from zeroshotvideoclassification_tpu.ops.resample_pallas import (

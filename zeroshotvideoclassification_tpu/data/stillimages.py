@@ -10,11 +10,16 @@ zoom/pan trajectory of square crop boxes and resizing each to crop_size
   * emit per-frame bilinear gather indices for the device kernel
     (ops.resample.fused_image_motion_transform)
 
-Documented divergences (pretraining-only path): the reference resizes each
-crop with PIL (antialiased) and bounds the image with skimage — here both are
-half-pixel bilinear (cv2 for the host bound, the fused kernel for the crops).
-Per-channel Kinetics mean/std normalization is kept (quirk #5: the SUN path
-normalizes differently from the video path).
+Crop resize parity: with Config.sun_antialias (default) the device kernel
+reproduces PIL's antialiased bilinear — the reference's torchvision Resize on
+PIL crops (auxiliary_stillimages.py:56-62,130-134) — via
+ops.resample.fused_image_motion_transform_aa (taps derived on device from the
+integer trajectory; oracle-tested against PIL and torch antialias=True).
+--no-sun_antialias restores the plain 2-tap half-pixel bilinear.
+Remaining documented divergence (pretraining-only path): the HOST image
+bound uses cv2 bilinear where the reference used skimage anti_aliasing
+resize. Per-channel Kinetics mean/std normalization is kept (quirk #5: the
+SUN path normalizes differently from the video path).
 """
 
 from __future__ import annotations

@@ -87,3 +87,91 @@ def fused_image_motion_transform(
 
     out = jax.vmap(one)(images, y0, y1, wy, x0, x1, wx)
     return out.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("crop_size", "max_taps", "out_dtype"))
+def fused_image_motion_transform_aa(
+    images: jax.Array,      # uint8 [B, Hc, Wc, C] — ONE still image per sample
+    trajectory: jax.Array,  # int32 [B, T, 3] per-frame (y, x, side) crop boxes
+    img_hw: jax.Array,      # int32 [B, 2] true (h, w) inside the canvas
+    ch_scale: jax.Array,    # float32 [C]: out = v*scale + offset
+    ch_offset: jax.Array,
+    crop_size: int = 112,
+    max_taps: int = 11,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """ANTIALIASED SUN camera-motion inflation -> [B, T, S, S, C].
+
+    The reference resizes each trajectory crop with torchvision Resize on a
+    PIL image (/root/reference/auxiliary/auxiliary_stillimages.py:56-62,
+    130-134) — PIL's bilinear is a triangle filter whose support scales with
+    the downscale ratio (antialiased), NOT the 2-tap half-pixel lerp of
+    `fused_image_motion_transform`. Since the crop side is >= crop_size by
+    construction (auxiliary_stillimages.py:119-127 draws sides in
+    [crop, fit)), every frame is a downscale and the filter footprint
+    matters.
+
+    TPU-first design: the host ships only the integer trajectory ([T, 3]
+    per sample — ~100 bytes instead of the bilinear path's ~21 KB of gather
+    indices); tap indices and PIL-exact normalized triangle weights are
+    computed ON DEVICE with static shapes. Each output pixel reads a fixed
+    window of `max_taps` source rows/cols (zero-weight-padded past the true
+    window), so the whole transform is K unrolled gather+FMA passes per
+    axis — static shapes, no data-dependent control flow, batch-shardable.
+
+    `max_taps` must cover ceil(2 * side_max/crop_size) + 1; the host bound
+    (data/stillimages.py:load_and_bound_image) caps the usable side at 512,
+    so 11 taps cover 112-px crops with margin. Boxes overhanging the image
+    reproduce the reference's numpy-truncate-then-stretch behavior (the
+    per-axis extent is clamped before the filter scale is derived).
+    Upscaling crops (possible for images the integer-scale bound leaves
+    with min side in [87, 111]) degrade to plain bilinear, exactly as PIL
+    does when scale < 1.
+    """
+    S = crop_size
+    K = max_taps
+
+    def taps(origin, side, limit):
+        # origin/side: int32 [T]; limit: int32 scalar -> idx/w [T, S, K]
+        o = origin.astype(jnp.float32)
+        extent = jnp.minimum(side.astype(jnp.float32),
+                             limit.astype(jnp.float32) - o)  # [T]
+        scale = extent / float(S)
+        fs = jnp.maximum(scale, 1.0)  # filter scale (support of the triangle)
+        d = jnp.arange(S, dtype=jnp.float32)
+        center = (d[None, :] + 0.5) * scale[:, None]          # [T, S]
+        # PIL: xmin = max((int)(center - support + .5), 0),
+        #      xmax = min((int)(center + support + .5), in_size)
+        lo = jnp.maximum(jnp.floor(center - fs[:, None] + 0.5), 0.0)
+        hi = jnp.minimum(jnp.floor(center + fs[:, None] + 0.5),
+                         extent[:, None])
+        j = lo[:, :, None] + jnp.arange(K, dtype=jnp.float32)  # [T, S, K]
+        arg = (j + 0.5 - center[:, :, None]) / fs[:, None, None]
+        w = jnp.maximum(1.0 - jnp.abs(arg), 0.0) * (j < hi[:, :, None])
+        w = w / jnp.maximum(w.sum(-1, keepdims=True), 1e-20)
+        idx = jnp.clip(j.astype(jnp.int32) + origin[:, None, None],
+                       0, limit - 1)
+        return idx, w
+
+    def one(img, traj, hw):
+        img = img.astype(jnp.float32)  # [Hc, Wc, C]
+        yi, wy = taps(traj[:, 0], traj[:, 2], hw[0])
+        xi, wx = taps(traj[:, 1], traj[:, 2], hw[1])
+
+        def frame(fyi, fwy, fxi, fwx):
+            rows = fwy[:, 0, None, None] * jnp.take(img, fyi[:, 0], axis=0)
+            for k in range(1, K):                 # [S, Wc, C]
+                rows = rows + fwy[:, k, None, None] * jnp.take(
+                    img, fyi[:, k], axis=0)
+            out = fwx[None, :, 0, None] * jnp.take(rows, fxi[:, 0], axis=1)
+            for k in range(1, K):                 # [S, S, C]
+                out = out + fwx[None, :, k, None] * jnp.take(
+                    rows, fxi[:, k], axis=1)
+            return out
+
+        out = jax.vmap(frame)(yi, wy, xi, wx)     # [T, S, S, C]
+        return out * ch_scale + ch_offset
+
+    out = jax.vmap(one)(images, trajectory, img_hw)
+    return out.astype(out_dtype)
