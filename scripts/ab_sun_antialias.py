@@ -72,6 +72,10 @@ def main():
         return fused_image_motion_transform_aa(
             im, traj_d, hw_d, cs, co, crop_size=args.size)
 
+    def aa_gather(im):
+        return fused_image_motion_transform_aa(
+            im, traj_d, hw_d, cs, co, crop_size=args.size, impl="gather")
+
     a = jax.device_get(aa(imgs_d))
     b = jax.device_get(plain(imgs_d))
     # pixel-level: how different the two transforms actually are
@@ -103,6 +107,9 @@ def main():
     t_aa = bench(aa, "antialiased")
     print(json.dumps({"metric": "sun_aa_kernel_cost",
                       "value": round(t_aa / t_plain, 3), "unit": "x"}))
+    t_gather = bench(aa_gather, "antialiased_gather")
+    print(json.dumps({"metric": "sun_aa_mxu_vs_gather_speedup",
+                      "value": round(t_gather / t_aa, 3), "unit": "x"}))
 
     if not args.skip_embed:
         from zeroshotvideoclassification_tpu.config import Config

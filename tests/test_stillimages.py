@@ -14,6 +14,7 @@ Both apply per-channel Kinetics mean/std normalization.
 """
 
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -88,7 +89,7 @@ def test_motion_kernel_matches_oracle_on_overhanging_boxes(rng):
         np.testing.assert_allclose(out[0, f], want, atol=2e-4)
 
 
-def _aa_kernel(img_u8, traj, hw):
+def _aa_kernel(img_u8, traj, hw, impl="mxu"):
     from zeroshotvideoclassification_tpu.data.stillimages import (
         CH_OFFSET,
         CH_SCALE,
@@ -99,7 +100,8 @@ def _aa_kernel(img_u8, traj, hw):
 
     return np.asarray(fused_image_motion_transform_aa(
         img_u8[None], np.asarray(traj, np.int32)[None],
-        np.asarray([hw], np.int32), CH_SCALE, CH_OFFSET, crop_size=CROP))[0]
+        np.asarray([hw], np.int32), CH_SCALE, CH_OFFSET, crop_size=CROP,
+        impl=impl))[0]
 
 
 def _oracle_frame_aa_torch(img_u8, y, x, side):
@@ -119,29 +121,32 @@ def _oracle_frame_aa_pil(img_u8, y, x, side):
     return (r - KINETICS_MEAN) / KINETICS_STD
 
 
-def test_aa_motion_kernel_matches_torch_antialias(rng):
+@pytest.mark.parametrize("impl", ["mxu", "gather"])
+def test_aa_motion_kernel_matches_torch_antialias(rng, impl):
     """Float-exact (1e-4) agreement with torch's antialiased bilinear."""
     img = rng.integers(0, 256, size=(384, 460, 3), dtype=np.uint8)
     traj = camera_motion_trajectory((384, 460), CROP, 6, rng)
-    out = _aa_kernel(img, traj, (384, 460))
+    out = _aa_kernel(img, traj, (384, 460), impl)
     for f, (y, x, side) in enumerate(traj):
         want = _oracle_frame_aa_torch(img, y, x, side)
         np.testing.assert_allclose(out[f], want, atol=2e-3)
 
 
-def test_aa_motion_kernel_matches_pil(rng):
+@pytest.mark.parametrize("impl", ["mxu", "gather"])
+def test_aa_motion_kernel_matches_pil(rng, impl):
     """PIL (the reference's actual resize) agreement within its own uint8
     inter-pass rounding: 2/255 per channel pre-normalization."""
     img = rng.integers(0, 256, size=(300, 512, 3), dtype=np.uint8)
     traj = camera_motion_trajectory((300, 512), CROP, 6, rng)
-    out = _aa_kernel(img, traj, (300, 512))
+    out = _aa_kernel(img, traj, (300, 512), impl)
     tol = 2.0 / 255.0 / KINETICS_STD.min()
     for f, (y, x, side) in enumerate(traj):
         want = _oracle_frame_aa_pil(img, y, x, side)
         assert np.abs(out[f] - want).max() < tol
 
 
-def test_aa_motion_kernel_overhanging_and_upscale(rng):
+@pytest.mark.parametrize("impl", ["mxu", "gather"])
+def test_aa_motion_kernel_overhanging_and_upscale(rng, impl):
     """The clamp-stretch quirk and the upscale degenerate case both follow
     PIL: an overhanging box resizes only the surviving extent; a crop
     smaller than 112 (min side in [87, 111] survives the integer-scale
@@ -150,7 +155,7 @@ def test_aa_motion_kernel_overhanging_and_upscale(rng):
     hw = (100, 400)
     img = rng.integers(0, 256, size=(*hw, 3), dtype=np.uint8)
     traj = np.asarray([[0, 5, 112], [0, 340, 112], [0, 10, 250]])
-    out = _aa_kernel(img, traj, hw)
+    out = _aa_kernel(img, traj, hw, impl)
     for f, (y, x, side) in enumerate(traj):
         want_t = _oracle_frame_aa_torch(img, y, x, side)
         np.testing.assert_allclose(out[f], want_t, atol=2e-3)
@@ -158,15 +163,13 @@ def test_aa_motion_kernel_overhanging_and_upscale(rng):
         assert np.abs(out[f] - want_p).max() < 2.0 / 255.0 / KINETICS_STD.min()
 
 
-def test_aa_zero_weight_sample_is_finite():
+@pytest.mark.parametrize("impl", ["mxu", "gather"])
+def test_aa_zero_weight_sample_is_finite(impl):
     """All-zero trajectory rows (broken samples) must produce finite output
     (weight 0 masks them downstream, but NaNs would poison debug_nans)."""
     img = np.zeros((64, 64, 3), np.uint8)
-    out = _aa_kernel(img, np.zeros((4, 3), np.int32), (64, 64))
+    out = _aa_kernel(img, np.zeros((4, 3), np.int32), (64, 64), impl)
     assert np.isfinite(out).all()
-
-
-import pytest
 
 
 @pytest.mark.parametrize("aa", [True, False])

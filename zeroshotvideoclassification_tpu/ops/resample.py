@@ -90,7 +90,7 @@ def fused_image_motion_transform(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("crop_size", "max_taps", "out_dtype"))
+    jax.jit, static_argnames=("crop_size", "max_taps", "out_dtype", "impl"))
 def fused_image_motion_transform_aa(
     images: jax.Array,      # uint8 [B, Hc, Wc, C] — ONE still image per sample
     trajectory: jax.Array,  # int32 [B, T, 3] per-frame (y, x, side) crop boxes
@@ -100,6 +100,7 @@ def fused_image_motion_transform_aa(
     crop_size: int = 112,
     max_taps: int = 11,
     out_dtype=jnp.float32,
+    impl: str = "mxu",
 ) -> jax.Array:
     """ANTIALIASED SUN camera-motion inflation -> [B, T, S, S, C].
 
@@ -128,9 +129,59 @@ def fused_image_motion_transform_aa(
     Upscaling crops (possible for images the integer-scale bound leaves
     with min side in [87, 111]) degrade to plain bilinear, exactly as PIL
     does when scale < 1.
+
+    Two equivalent implementations (same math, same oracle tests):
+      * impl='mxu' (default): the separable resize is two small matmuls per
+        frame, out = Wy @ img @ Wx^T, with the DENSE [S, Hc]/[S, Wc]
+        triangle-weight matrices built elementwise on device. ~3.4 GFLOP per
+        image rides the MXU (f32, Precision.HIGHEST for PIL fidelity)
+        instead of 2*K serial VPU gather passes; `max_taps` is unused.
+        On-chip A/B (scripts/ab_sun_antialias.py, v5e): 10.4x faster than
+        'gather' (1.41 vs 14.7 ms/batch-of-11), bringing antialiased parity
+        to 1.47x the cost of the plain-bilinear shortcut.
+      * impl='gather': K zero-weight-padded taps per output pixel, unrolled
+        gather+FMA — kept as the fallback shape for backends where dense
+        matmuls lose, and as a second oracle-tested formulation.
     """
     S = crop_size
     K = max_taps
+
+    if impl == "mxu":
+        def dense_w(origin, side, limit, n_src):
+            # origin/side: int32 [T]; -> normalized weights [T, S, n_src].
+            # Same window/clamp math as taps() below, expressed densely: the
+            # triangle is zero outside PIL's [lo, hi) int window except for
+            # the edge clips, which the `valid` mask reproduces.
+            o = origin.astype(jnp.float32)
+            extent = jnp.minimum(side.astype(jnp.float32),
+                                 limit.astype(jnp.float32) - o)  # [T]
+            scale = extent / float(S)
+            fs = jnp.maximum(scale, 1.0)
+            d = jnp.arange(S, dtype=jnp.float32)
+            center = (d[None, :] + 0.5) * scale[:, None] + o[:, None]  # [T,S]
+            h = jnp.arange(n_src, dtype=jnp.float32)                # [n_src]
+            arg = (h[None, None, :] + 0.5 - center[:, :, None]) / (
+                fs[:, None, None])
+            w = jnp.maximum(1.0 - jnp.abs(arg), 0.0)
+            valid = ((h[None, :] >= o[:, None]) &
+                     (h[None, :] < o[:, None] + extent[:, None]))
+            w = w * valid[:, None, :]
+            return w / jnp.maximum(w.sum(-1, keepdims=True), 1e-20)
+
+        hc, wc = images.shape[1], images.shape[2]
+
+        def one_mxu(img, traj, hw):
+            img = img.astype(jnp.float32)                    # [Hc, Wc, C]
+            wy = dense_w(traj[:, 0], traj[:, 2], hw[0], hc)  # [T, S, Hc]
+            wx = dense_w(traj[:, 1], traj[:, 2], hw[1], wc)  # [T, S, Wc]
+            rows = jnp.einsum("tsh,hwc->tswc", wy, img,
+                              precision=jax.lax.Precision.HIGHEST)
+            out = jnp.einsum("txw,tswc->tsxc", wx, rows,
+                             precision=jax.lax.Precision.HIGHEST)
+            return out * ch_scale + ch_offset
+
+        out = jax.vmap(one_mxu)(images, trajectory, img_hw)
+        return out.astype(out_dtype)
 
     def taps(origin, side, limit):
         # origin/side: int32 [T]; limit: int32 scalar -> idx/w [T, S, K]
