@@ -569,6 +569,12 @@ def main():
     args = build_arg_parser().parse_args()
     if args.smoke:
         args.bs, args.clip_len, args.size, args.steps = 2, 4, 32, 2
+        # an inherited XLA_FLAGS=--xla_force_host_platform_device_count=N
+        # (e.g. from a test-suite environment) makes the smoke batch shard
+        # over N virtual devices — keep it divisible
+        import jax
+
+        args.bs = max(args.bs, jax.device_count())
     if args._worker or args.smoke:
         run_and_print(args)
         return

@@ -42,8 +42,10 @@ import pytest  # noqa: E402
 # Explicit @pytest.mark.* on a test overrides nothing — markers only add.
 _SLOW_MODULES = {
     "test_cli",             # 4 driver runs, several distinct full programs
+    "test_cli_resume",      # 5 more driver runs (preemption recovery)
     "test_backbone_train",  # one full train step per backbone family
-    "test_graft_entry",     # 16/32-device subprocess dryruns
+    "test_graft_entry",     # full-model compile of the driver contract
+    "test_graft_entry_pod",  # 16/32-device subprocess dryruns (~7 min)
     "test_full_network_parity",  # full-depth torch oracles
 }
 
