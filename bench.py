@@ -569,12 +569,16 @@ def main():
     args = build_arg_parser().parse_args()
     if args.smoke:
         args.bs, args.clip_len, args.size, args.steps = 2, 4, 32, 2
-        # an inherited XLA_FLAGS=--xla_force_host_platform_device_count=N
-        # (e.g. from a test-suite environment) makes the smoke batch shard
-        # over N virtual devices — keep it divisible
+        # smoke asserts the JSON contract on CPU, not sharding — pin ONE
+        # cpu device so an inherited
+        # XLA_FLAGS=--xla_force_host_platform_device_count=N (e.g. from a
+        # test-suite environment) can't make the bs=2 batch unshardable
+        # (or 8x slower on a 1-core host). Must run before any backend
+        # init; the run_* functions re-apply the platform pin harmlessly.
         import jax
 
-        args.bs = max(args.bs, jax.device_count())
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 1)
     if args._worker or args.smoke:
         run_and_print(args)
         return
