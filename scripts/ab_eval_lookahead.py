@@ -61,10 +61,10 @@ def main():
 
     config = Config(network="r2plus1d_18", head="mlp",
                     clip_len=args.clip_len, size=112 if not args.smoke else 32)
-    n_classes = 32
+    n_classes = min(32, args.n_videos)
     class_ids = list(range(100, 100 + n_classes))
-    per = max(args.n_videos // n_classes, 1)
-    labels = np.repeat(np.arange(n_classes, dtype=np.int32), per)
+    # honor --n_videos exactly: cycle the class list to n_videos entries
+    labels = np.resize(np.arange(n_classes, dtype=np.int32), args.n_videos)
     fnames = np.asarray([(class_ids[l], i) for i, l in enumerate(labels)],
                         object)
     table = VideoTable(

@@ -308,7 +308,7 @@ def main():
             args.bs, args.clip_len, args.size, args.scan_iters,
             "r2plus1d_18", smoke=False)
     else:
-        cps, step_s, _ = bench.run_bench(
+        cps, step_s, _, _ = bench.run_bench(
             args.bs, args.clip_len, args.size, args.scan_iters,
             "r2plus1d_18", smoke=False)
     step_ms = step_s * 1e3

@@ -129,8 +129,10 @@ def test_batchnorm_relu_block_equivalence(interpret_pallas, rng, monkeypatch):
 
 
 def test_eligibility_and_rows_block():
-    assert bn_pallas._pick_rows_block(14336, 3584) >= 8
-    assert bn_pallas._pick_rows_block(14336, 3584) % 2 == 0 or True
+    br = bn_pallas._pick_rows_block(14336, 3584)
+    assert br >= 8
+    assert 14336 % br == 0  # block must tile the rows exactly
+    assert br * 3584 * 4 <= (1 << 21)  # one f32 block fits the VMEM target
     x = jnp.zeros((16, 16, 56, 56, 64), jnp.bfloat16)
     assert bn_pallas.eligible(x)
     assert not bn_pallas.eligible(jnp.zeros((7,), jnp.float32))

@@ -10,8 +10,6 @@ import glob
 import json
 import os
 
-import numpy as np
-
 from tests.test_cli import _run
 
 

@@ -93,8 +93,12 @@ def load_real_corpus(wordnet_dir):
     return exc, lemmas
 
 
-_RULES = (("s", ""), ("ies", "y"), ("es", "e"), ("es", ""),
-          ("ed", "e"), ("ed", ""), ("ing", "e"), ("ing", ""))
+# The SAME rule table the runtime lemmatizer applies — imported, not
+# copied, so the closure guarantee below can never desynchronize from a
+# lemma.py rule edit.
+from zeroshotvideoclassification_tpu.text.lemma import (  # noqa: E402
+    _VERB_RULES,
+)
 
 
 def rule_candidates(form: str) -> set:
@@ -102,7 +106,7 @@ def rule_candidates(form: str) -> set:
     out, frontier = set(), [form]
     while frontier:
         nxt = [f[: -len(s)] + r for f in frontier
-               for s, r in _RULES if f.endswith(s)]
+               for s, r in _VERB_RULES if f.endswith(s)]
         nxt = [f for f in nxt if f and f not in out]
         out.update(nxt)
         frontier = nxt

@@ -42,7 +42,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _pick_rows_block(rows: int, lanes: int, target_bytes: int = 1 << 21) -> int:

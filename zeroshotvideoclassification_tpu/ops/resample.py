@@ -183,6 +183,22 @@ def fused_image_motion_transform_aa(
         out = jax.vmap(one_mxu)(images, trajectory, img_hw)
         return out.astype(out_dtype)
 
+    if impl != "gather":
+        raise ValueError(f"impl must be 'mxu' or 'gather', got {impl!r}")
+
+    # Trace-time guard: PIL's window for a crop of extent E is
+    # [floor(c - fs + .5), floor(c + fs + .5)) with fs = E/S, i.e. at most
+    # floor(2*fs) + 2 integer taps. extent <= the static canvas dim, so a
+    # too-small K would silently DROP tail taps (taps() renormalizes, so the
+    # output would quietly under-antialias instead of erroring).
+    worst_fs = max(images.shape[1], images.shape[2]) / float(S)
+    need = int(2 * worst_fs) + 2 if worst_fs > 1.0 else 3
+    if K < need:
+        raise ValueError(
+            f"max_taps={K} cannot cover the worst-case PIL window for "
+            f"canvas {images.shape[1]}x{images.shape[2]} -> {S}: need "
+            f">= {need} taps (or use impl='mxu', which has no tap cap)")
+
     def taps(origin, side, limit):
         # origin/side: int32 [T]; limit: int32 scalar -> idx/w [T, S, K]
         o = origin.astype(jnp.float32)
