@@ -172,6 +172,33 @@ def test_aa_zero_weight_sample_is_finite(impl):
     assert np.isfinite(out).all()
 
 
+def test_aa_gather_rejects_insufficient_max_taps():
+    """The gather impl must REFUSE (trace time) rather than silently drop
+    filter taps: a 512-canvas -> 64 resize needs ~18 taps, above the
+    default 11."""
+    from zeroshotvideoclassification_tpu.data.stillimages import (
+        CH_OFFSET,
+        CH_SCALE,
+    )
+    from zeroshotvideoclassification_tpu.ops.resample import (
+        fused_image_motion_transform_aa,
+    )
+
+    img = np.zeros((1, 512, 512, 3), np.uint8)
+    traj = np.zeros((1, 2, 3), np.int32)
+    hw = np.asarray([[512, 512]], np.int32)
+    with pytest.raises(ValueError, match="max_taps"):
+        fused_image_motion_transform_aa(
+            img, traj, hw, CH_SCALE, CH_OFFSET, crop_size=64, impl="gather")
+    # the mxu impl has no tap cap — same call succeeds
+    out = fused_image_motion_transform_aa(
+        img, traj, hw, CH_SCALE, CH_OFFSET, crop_size=64, impl="mxu")
+    assert out.shape == (1, 2, 64, 64, 3)
+    with pytest.raises(ValueError, match="impl"):
+        fused_image_motion_transform_aa(
+            img, traj, hw, CH_SCALE, CH_OFFSET, crop_size=64, impl="MXU")
+
+
 @pytest.mark.parametrize("aa", [True, False])
 def test_sun_pipeline_end_to_end(tmp_path, rng, aa):
     import cv2
