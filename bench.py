@@ -220,7 +220,8 @@ def _make_disk_fixture(root: str, n_videos: int, n_frames: int,
 
 
 def run_e2e(bs: int, clip_len: int, size: int, steps: int, network: str,
-            source: str, smoke: bool, h2d_window: bool = True):
+            source: str, smoke: bool, h2d_window: bool = True,
+            decode_scale: int = 1, canvas_hw=None):
     """END-TO-END training throughput: HostPipeline decode (synthetic render
     or on-disk JPEG via the native decoder) -> canvas pack -> H2D ->
     fused device transform -> jitted train step.
@@ -262,8 +263,10 @@ def run_e2e(bs: int, clip_len: int, size: int, steps: int, network: str,
         make_train_step,
     )
 
+    extra = {"canvas_hw": tuple(canvas_hw)} if canvas_hw else {}
     config = Config(network=network, head="mlp", bs=bs, clip_len=clip_len,
-                    size=size, h2d_window=h2d_window)
+                    size=size, h2d_window=h2d_window,
+                    decode_scale=decode_scale, **extra)
     n_videos = max(2 * bs, 32) if not smoke else 2 * bs
     n_classes = 8
     rng = np.random.default_rng(0)
@@ -373,6 +376,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["synthetic", "disk"],
                    help="--e2e input: synthetic render or on-disk JPEG "
                         "frame dirs (native decoder)")
+    p.add_argument("--decode_scale", type=int, default=1,
+                   choices=[1, 2, 4, 8],
+                   help="max libjpeg DCT-scale denominator for the e2e "
+                        "disk path (1 = reference decode parity)")
     p.add_argument("--no_h2d_window", action="store_true",
                    help="e2e: ship the FULL canvas instead of the "
                         "crop-source window (A/B the H2D byte cut)")
@@ -433,7 +440,8 @@ def run_and_print(args):
     if args.e2e:
         r = run_e2e(args.bs, args.clip_len, args.size, args.steps,
                     args.network, args.source, args.smoke,
-                    h2d_window=not args.no_h2d_window)
+                    h2d_window=not args.no_h2d_window,
+                    decode_scale=args.decode_scale)
         value = r["e2e_clips_per_sec"] / r["n_chips"]
         print(json.dumps({
             "metric": metric_name(args),
@@ -475,7 +483,8 @@ def run_and_print(args):
         try:
             e2e_steps = 2 if args.smoke else args.e2e_steps
             r = run_e2e(args.bs, args.clip_len, args.size, e2e_steps,
-                        args.network, "disk", args.smoke)
+                        args.network, "disk", args.smoke,
+                        decode_scale=args.decode_scale)
             e2e_chip = r["e2e_clips_per_sec"] / r["n_chips"]
             host_cores = os.cpu_count() or 1
             e2e_args = argparse.Namespace(**{**vars(args), "e2e": True,

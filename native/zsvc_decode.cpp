@@ -35,8 +35,13 @@ void error_exit(j_common_ptr cinfo) {
 }
 
 // Decode one JPEG into dst (row-major RGB, h*w*3). Returns true on success
-// and only if the decoded dimensions match (h, w).
-bool decode_one(const char* path, unsigned char* dst, int h, int w) {
+// and only if the decoded dimensions match (h, w). `denom` > 1 selects
+// libjpeg's DCT-domain scaled decode (output = ceil(dim/denom), denom in
+// {1,2,4,8}): the IDCT itself runs at the reduced size, so a 1/2 decode
+// costs ~1/4 of the full IDCT work and emits 1/4 of the bytes — the host
+// analog of "never move pixels the model will immediately throw away".
+bool decode_one(const char* path, unsigned char* dst, int h, int w,
+                int denom) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
 
@@ -53,6 +58,10 @@ bool decode_one(const char* path, unsigned char* dst, int h, int w) {
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  if (denom > 1) {
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = static_cast<unsigned int>(denom);
+  }
   jpeg_start_decompress(&cinfo);
 
   bool ok = (static_cast<int>(cinfo.output_height) == h &&
@@ -74,8 +83,10 @@ bool decode_one(const char* path, unsigned char* dst, int h, int w) {
 
 extern "C" {
 
-// Read just the header: -> 0 on success, fills (h, w).
-int zsvc_jpeg_dims(const char* path, int* h, int* w) {
+// Read just the header: -> 0 on success, fills (h, w) with the dimensions a
+// decode at scale 1/denom would emit (libjpeg: ceil(dim/denom)); denom=1
+// gives the encoded dimensions.
+int zsvc_jpeg_dims_scaled(const char* path, int denom, int* h, int* w) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   jpeg_decompress_struct cinfo;
@@ -90,18 +101,29 @@ int zsvc_jpeg_dims(const char* path, int* h, int* w) {
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
-  *h = cinfo.image_height;
-  *w = cinfo.image_width;
+  if (denom > 1) {
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = static_cast<unsigned int>(denom);
+  }
+  jpeg_calc_output_dimensions(&cinfo);
+  *h = cinfo.output_height;
+  *w = cinfo.output_width;
   jpeg_destroy_decompress(&cinfo);
   fclose(f);
   return 0;
 }
 
-// Decode n same-sized JPEGs into out [n, h, w, 3] with `threads` workers.
-// Returns the number of successfully decoded frames; failed frames are filled
-// from the previous decoded frame afterwards. Returns 0 if frame 0 failed.
-int zsvc_decode_jpeg_batch(const char** paths, int n, unsigned char* out,
-                           int h, int w, int threads) {
+int zsvc_jpeg_dims(const char* path, int* h, int* w) {
+  return zsvc_jpeg_dims_scaled(path, 1, h, w);
+}
+
+// Decode n same-sized JPEGs into out [n, h, w, 3] with `threads` workers at
+// DCT scale 1/denom ((h, w) are the SCALED output dims). Returns the number
+// of successfully decoded frames; failed frames are filled from the previous
+// decoded frame afterwards. Returns 0 if frame 0 failed.
+int zsvc_decode_jpeg_batch_scaled(const char** paths, int n,
+                                  unsigned char* out, int h, int w,
+                                  int threads, int denom) {
   if (n <= 0) return 0;
   const size_t frame_bytes = static_cast<size_t>(h) * w * 3;
   std::vector<unsigned char> ok(n, 0);
@@ -112,7 +134,7 @@ int zsvc_decode_jpeg_batch(const char** paths, int n, unsigned char* out,
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) break;
-      if (decode_one(paths[i], out + frame_bytes * i, h, w)) {
+      if (decode_one(paths[i], out + frame_bytes * i, h, w, denom)) {
         ok[i] = 1;
         n_ok.fetch_add(1);
       }
@@ -134,6 +156,11 @@ int zsvc_decode_jpeg_batch(const char** paths, int n, unsigned char* out,
     }
   }
   return n_ok.load();
+}
+
+int zsvc_decode_jpeg_batch(const char** paths, int n, unsigned char* out,
+                           int h, int w, int threads) {
+  return zsvc_decode_jpeg_batch_scaled(paths, n, out, h, w, threads, 1);
 }
 
 }  // extern "C"

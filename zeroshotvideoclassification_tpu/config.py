@@ -110,6 +110,14 @@ class Config:
                                       # (no extra conv FLOPs, less saved-
                                       # activation HBM traffic)
     decode_workers: int = 0           # 0 = os.cpu_count()
+    decode_scale: int = 1             # max libjpeg DCT-scale denominator for
+                                      # frame-dir decode (1/2/4/8). >1 decodes
+                                      # oversized JPEGs directly at reduced
+                                      # size when the scaled short side still
+                                      # covers the resize target — ~4x less
+                                      # host IDCT work + 4x fewer H2D bytes
+                                      # per halving. 1 (default) = bit-exact
+                                      # reference decode parity
     canvas_hw: Tuple[int, int] = (256, 342)  # host uint8 canvas (static shape)
     h2d_window: bool = True           # ship only the crop's source window of
                                       # the canvas to the device (static
@@ -264,6 +272,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--pretrained_dir", default=d.pretrained_dir, type=str)
     p.add_argument("--word2vec_path", default=d.word2vec_path, type=str)
     p.add_argument("--decode_workers", default=d.decode_workers, type=int)
+    p.add_argument("--decode_scale", default=d.decode_scale, type=int,
+                   choices=[1, 2, 4, 8],
+                   help="max libjpeg DCT-scale denominator for frame-dir "
+                        "decode: oversized JPEGs decode directly at reduced "
+                        "size when the scaled short side still covers the "
+                        "resize target (throughput lever; 1 = exact "
+                        "reference decode parity; pair with --canvas_hw "
+                        "128 171 to also shrink the H2D window ~3.9x — "
+                        "docs/TUNING.md)")
     p.add_argument("--prefetch_depth", default=d.prefetch_depth, type=int,
                    help="host->device pipeline depth (decoded batches "
                         "buffered ahead of the training step)")

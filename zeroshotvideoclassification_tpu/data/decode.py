@@ -43,14 +43,38 @@ def _get_native():
     return _native
 
 
+def pick_decode_denom(full_hw: Tuple[int, int], scale_cap: int,
+                      min_short_side: int) -> int:
+    """Largest DCT-scale denominator d in {1,2,4,8}, d <= scale_cap, whose
+    scaled short side (ceil(min(h,w)/d)) still covers `min_short_side` — so
+    the device resize that follows only ever downsamples, never upsamples.
+    A source already at/below the resize target decodes at full size."""
+    short = min(int(full_hw[0]), int(full_hw[1]))
+    for d in (8, 4, 2):
+        if d <= scale_cap and -(-short // d) >= min_short_side:
+            return d
+    return 1
+
+
 def decode_frame_dir(
     fname: str,
     clip_len: int,
     n_clips: int,
     is_validation: bool,
     rng: Optional[np.random.Generator] = None,
+    scale_cap: int = 1,
+    min_short_side: int = 0,
 ) -> Tuple[Optional[np.ndarray], bool]:
-    """JPEG frame directory -> sampled frames (the active training path)."""
+    """JPEG frame directory -> sampled frames (the active training path).
+
+    scale_cap > 1 opts into libjpeg DCT-domain scaled decode (an input-
+    pipeline throughput lever, Config.decode_scale): frames whose short side
+    would still cover `min_short_side` after scaling decode directly at
+    1/2, 1/4 or 1/8 size — ~4x less IDCT work and 4x fewer H2D bytes per
+    halving. Numerics differ from full-decode-then-device-resize (the
+    reference's path, auxiliary_dataset.py:211-266 + transforms.py:99-107),
+    so the default (1) keeps exact parity; requires the native decoder
+    (the cv2 fallback decodes at full size regardless)."""
     images_dir = os.path.join(fname, "images")
     if not os.path.isdir(images_dir):
         return None, False
@@ -62,7 +86,12 @@ def decode_frame_dir(
 
     native = _get_native()
     if native:
-        frames = native.decode_jpeg_batch(paths)
+        denom = 1
+        if scale_cap > 1 and min_short_side > 0 and native.has_scaled_decode():
+            full_hw = native.jpeg_dims(paths[0])
+            if full_hw is not None:
+                denom = pick_decode_denom(full_hw, scale_cap, min_short_side)
+        frames = native.decode_jpeg_batch(paths, scale_denom=denom)
         if frames is not None:
             return frames, True
 

@@ -40,6 +40,24 @@ def _load():
                 ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
                 ctypes.POINTER(ctypes.c_int),
             ]
+            # DCT-scaled entry points; absent from a pre-rebuild .so, in
+            # which case scale_denom>1 requests quietly decode at full size
+            # (the callers treat scaling as an optimization hint only)
+            try:
+                lib.zsvc_decode_jpeg_batch_scaled.restype = ctypes.c_int
+                lib.zsvc_decode_jpeg_batch_scaled.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ]
+                lib.zsvc_jpeg_dims_scaled.restype = ctypes.c_int
+                lib.zsvc_jpeg_dims_scaled.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ]
+                lib._zsvc_has_scaled = True
+            except AttributeError:
+                lib._zsvc_has_scaled = False
             _lib = lib
             return _lib
         except OSError:
@@ -57,31 +75,54 @@ def set_threads(n: int) -> None:
     _threads = max(int(n), 1)
 
 
-def jpeg_dims(path: str) -> Optional[Tuple[int, int]]:
+def jpeg_dims(path: str, scale_denom: int = 1) -> Optional[Tuple[int, int]]:
+    """(h, w) a decode at 1/scale_denom would emit (= ceil(dim/denom))."""
     lib = _load()
     if not lib:
         return None
     h, w = ctypes.c_int(), ctypes.c_int()
-    if lib.zsvc_jpeg_dims(path.encode(), ctypes.byref(h), ctypes.byref(w)) != 0:
+    if scale_denom > 1 and getattr(lib, "_zsvc_has_scaled", False):
+        rc = lib.zsvc_jpeg_dims_scaled(path.encode(), int(scale_denom),
+                                       ctypes.byref(h), ctypes.byref(w))
+    else:
+        rc = lib.zsvc_jpeg_dims(path.encode(), ctypes.byref(h),
+                                ctypes.byref(w))
+    if rc != 0:
         return None
     return h.value, w.value
 
 
-def decode_jpeg_batch(paths: List[str]) -> Optional[np.ndarray]:
-    """-> [n, h, w, 3] RGB uint8, or None on failure (caller falls back)."""
+def has_scaled_decode() -> bool:
+    lib = _load()
+    return bool(lib) and getattr(lib, "_zsvc_has_scaled", False)
+
+
+def decode_jpeg_batch(paths: List[str],
+                      scale_denom: int = 1) -> Optional[np.ndarray]:
+    """-> [n, h, w, 3] RGB uint8, or None on failure (caller falls back).
+
+    scale_denom in {1, 2, 4, 8} selects libjpeg's DCT-domain scaled decode;
+    a library built before the scaled entry points existed ignores it."""
     lib = _load()
     if not lib or not paths:
         return None
-    dims = jpeg_dims(paths[0])
+    if scale_denom > 1 and not getattr(lib, "_zsvc_has_scaled", False):
+        scale_denom = 1
+    dims = jpeg_dims(paths[0], scale_denom)
     if dims is None:
         return None
     h, w = dims
     n = len(paths)
     out = np.empty((n, h, w, 3), np.uint8)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-    n_ok = lib.zsvc_decode_jpeg_batch(
-        arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
-        h, w, _threads)
+    if scale_denom > 1:
+        n_ok = lib.zsvc_decode_jpeg_batch_scaled(
+            arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            h, w, _threads, int(scale_denom))
+    else:
+        n_ok = lib.zsvc_decode_jpeg_batch(
+            arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            h, w, _threads)
     if n_ok == 0:
         return None
     return out

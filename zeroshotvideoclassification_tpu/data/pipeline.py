@@ -162,8 +162,16 @@ class HostPipeline:
                 return None
             return self._fit_image(img)
         else:
+            kw = {}
+            if (t.loader == "frame_dir"
+                    and getattr(self.config, "decode_scale", 1) > 1):
+                # opt-in DCT-scaled decode (Config.decode_scale): the device
+                # transform adapts to whatever size arrives (per-sample
+                # src_hw), so only the decode/H2D cost changes
+                kw = dict(scale_cap=int(self.config.decode_scale),
+                          min_short_side=self.short_side)
             frames, ok = DECODERS[t.loader](
-                str(t.fnames[i]), cl, nc, t.is_validation, rng)
+                str(t.fnames[i]), cl, nc, t.is_validation, rng, **kw)
         if not ok or frames is None:
             return None
         return _fit_to_canvas(frames, self.canvas_hw, self.short_side)
