@@ -125,7 +125,8 @@ def classify_videos(
     config = Config(network=args.network, head=args.head, bs=args.bs,
                     clip_len=args.clip_len, size=args.size,
                     n_clips=args.n_clips,
-                    compute_dtype=args.compute_dtype)
+                    compute_dtype=args.compute_dtype,
+                    decode_scale=args.decode_scale)
     model, state, eval_step = build_scoring_state(
         args.network, args.head, args.weights, config)
 
@@ -196,6 +197,11 @@ def add_class_and_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--top_k", type=int, default=5)
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--decode_scale", type=int, default=1,
+                   choices=[1, 2, 4, 8],
+                   help="max libjpeg DCT-scale denominator for frame-dir "
+                        "JPEG decode (1 = exact reference decode parity; "
+                        "docs/TUNING.md)")
     p.add_argument("--word2vec_path",
                    default="./assets/GoogleNews-vectors-negative300.bin")
     p.add_argument("--word2vec_cache", default="./assets/word2vec_cache.npz")

@@ -84,7 +84,8 @@ def main(argv=None):
         class_names, class_embed, network=args.network, head=args.head,
         weights=args.weights, n_clips=args.n_clips, clip_len=args.clip_len,
         size=args.size, max_batch=args.max_batch,
-        compute_dtype=args.compute_dtype, top_k=args.top_k)
+        compute_dtype=args.compute_dtype, top_k=args.top_k,
+        decode_scale=args.decode_scale)
     if args.warmup:
         print(f"warming the dispatch ladder {engine.batch_buckets} ...",
               file=sys.stderr)

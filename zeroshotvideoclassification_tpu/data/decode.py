@@ -252,13 +252,19 @@ def detect_loader(path: str) -> str:
     return "video"
 
 
-def decode_auto(path, clip_len, n_clips, is_validation, rng):
+def decode_auto(path, clip_len, n_clips, is_validation, rng,
+                scale_cap: int = 1, min_short_side: int = 0):
     """Per-path loader dispatch: lets one VideoTable (hence ONE padded device
     dispatch) mix frame-dir, encoded-video and .npy sources — the serving
     engine's mixed-request path uses this so a 3-kind request costs one
-    forward instead of three max_batch-padded ones."""
-    return DECODERS[detect_loader(path)](
-        path, clip_len, n_clips, is_validation, rng)
+    forward instead of three max_batch-padded ones. The DCT-scale hint
+    applies only to the JPEG frame-dir kind."""
+    kind = detect_loader(path)
+    if kind == "frame_dir" and scale_cap > 1:
+        return decode_frame_dir(path, clip_len, n_clips, is_validation, rng,
+                                scale_cap=scale_cap,
+                                min_short_side=min_short_side)
+    return DECODERS[kind](path, clip_len, n_clips, is_validation, rng)
 
 
 DECODERS = {

@@ -163,7 +163,7 @@ class HostPipeline:
             return self._fit_image(img)
         else:
             kw = {}
-            if (t.loader == "frame_dir"
+            if (t.loader in ("frame_dir", "auto")
                     and getattr(self.config, "decode_scale", 1) > 1):
                 # opt-in DCT-scaled decode (Config.decode_scale): the device
                 # transform adapts to whatever size arrives (per-sample

@@ -45,6 +45,7 @@ class InferenceEngine:
         max_batch: int = 128,
         compute_dtype: str = "bfloat16",
         top_k: int = 5,
+        decode_scale: int = 1,
     ):
         # max_batch defaults to the measured amortization knee: the serving
         # forward runs 916 -> 1653 clips/s/chip from bs16 to bs128 on v5e
@@ -89,7 +90,8 @@ class InferenceEngine:
         self.bucket_dispatches = {b: 0 for b in self.batch_buckets}
         self.config = Config(network=network, head=head, bs=max_batch,
                              clip_len=clip_len, size=size, n_clips=n_clips,
-                             compute_dtype=compute_dtype)
+                             compute_dtype=compute_dtype,
+                             decode_scale=decode_scale)
         self.model, state, self.eval_step = build_scoring_state(
             network, head, weights, self.config)
         # Serving never touches the optimizer: keep ONLY (params,
